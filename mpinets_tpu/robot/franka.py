@@ -1,0 +1,286 @@
+"""Static Franka Emika Panda model: kinematic chain, joint limits, collision
+spheres, and self-collision pair table.
+
+This is the TPU-native replacement for the reference's external ``robofin``
+dependency (used throughout ``/root/reference/mpinets``, e.g.
+``mpinets/utils.py:27``, ``mpinets/model.py:25``). Everything here is a plain
+numpy constant table -- the batched math lives in
+:mod:`mpinets_tpu.kernels.kinematics`.
+
+Sources of the numeric constants (all public):
+  * Kinematic frame origins: the standard ``franka_description`` Panda URDF
+    (joint origins / axes for panda_joint1..7, panda_hand, fingers).
+  * Joint limits: Franka's published datasheet limits. The "real robot"
+    limits follow the reference's convention of an empirically-shrunk range
+    (see ``/root/reference/mpinets/utils.py:44-47``); we derive them by
+    shrinking each published limit by ``REAL_LIMIT_MARGIN`` radians per side.
+    This margin is a single calibration constant.
+  * Collision spheres: transcribed from the reference's Lula robot
+    description (``/root/reference/config/franka_robot_description.yaml:57-182``,
+    57 spheres over 11 frames) into a flat SoA table.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+DOF = 7
+
+# ---------------------------------------------------------------------------
+# Joint limits
+# ---------------------------------------------------------------------------
+
+#: Published joint limits [7, 2] (low, high), radians.
+JOINT_LIMITS = np.array(
+    [
+        (-2.8973, 2.8973),
+        (-1.7628, 1.7628),
+        (-2.8973, 2.8973),
+        (-3.0718, -0.0698),
+        (-2.8973, 2.8973),
+        (-0.0175, 3.7525),
+        (-2.8973, 2.8973),
+    ],
+    dtype=np.float64,
+)
+
+#: Margin (radians) by which the "real robot" limits shrink the published
+#: range on each side. Calibration constant -- mirrors the reference's
+#: empirically-determined ``FrankaRealRobot.JOINT_LIMITS``.
+REAL_LIMIT_MARGIN = 0.02
+
+#: Empirical ("real robot") joint limits, the default normalization range in
+#: the reference (``mpinets/utils.py:50``).
+REAL_JOINT_LIMITS = JOINT_LIMITS + np.array([REAL_LIMIT_MARGIN, -REAL_LIMIT_MARGIN])
+
+VELOCITY_LIMITS = np.array(
+    [2.1750, 2.1750, 2.1750, 2.1750, 2.6100, 2.6100, 2.6100], dtype=np.float64
+)
+
+#: Neutral configuration used by the reference's Lula config
+#: (``config/franka_robot_description.yaml:44-46``).
+NEUTRAL_Q = np.array([0.0, -1.3, 0.0, -2.87, 0.0, 2.0, 0.75], dtype=np.float64)
+
+#: Fixed prismatic finger opening used everywhere in the reference
+#: (``config/franka_robot_description.yaml:52-53``, ``metrics.py:74-78``).
+FINGER_OPEN = 0.025
+
+
+# ---------------------------------------------------------------------------
+# Kinematic chain
+# ---------------------------------------------------------------------------
+# The chain is expressed as URDF-style fixed origins: each joint i has a fixed
+# parent->joint transform (xyz translation + rpy rotation) followed by a
+# rotation about local z by q_i (all Panda joints are revolute about local z).
+
+def _rpy_matrix(roll: float, pitch: float, yaw: float) -> np.ndarray:
+    """Rotation matrix from URDF-convention fixed-axis rpy angles."""
+    cr, sr = math.cos(roll), math.sin(roll)
+    cp, sp = math.cos(pitch), math.sin(pitch)
+    cy, sy = math.cos(yaw), math.sin(yaw)
+    rz = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+    ry = np.array([[cp, 0.0, sp], [0.0, 1.0, 0.0], [-sp, 0.0, cp]])
+    rx = np.array([[1.0, 0.0, 0.0], [0.0, cr, -sr], [0.0, sr, cr]])
+    return rz @ ry @ rx
+
+
+def _origin(xyz, rpy) -> np.ndarray:
+    """Homogeneous transform from a URDF joint origin."""
+    t = np.eye(4)
+    t[:3, :3] = _rpy_matrix(*rpy)
+    t[:3, 3] = xyz
+    return t
+
+
+_HPI = math.pi / 2.0
+
+#: Fixed parent->joint transforms for the 7 revolute joints, [7, 4, 4].
+#: (standard franka_description Panda URDF joint origins)
+JOINT_ORIGINS = np.stack(
+    [
+        _origin((0.0, 0.0, 0.333), (0.0, 0.0, 0.0)),      # panda_joint1
+        _origin((0.0, 0.0, 0.0), (-_HPI, 0.0, 0.0)),      # panda_joint2
+        _origin((0.0, -0.316, 0.0), (_HPI, 0.0, 0.0)),    # panda_joint3
+        _origin((0.0825, 0.0, 0.0), (_HPI, 0.0, 0.0)),    # panda_joint4
+        _origin((-0.0825, 0.384, 0.0), (-_HPI, 0.0, 0.0)),  # panda_joint5
+        _origin((0.0, 0.0, 0.0), (_HPI, 0.0, 0.0)),       # panda_joint6
+        _origin((0.088, 0.0, 0.0), (_HPI, 0.0, 0.0)),     # panda_joint7
+    ]
+)
+
+# Fixed frames hanging off the chain. Offsets below are expressed relative to
+# the frame named in FIXED_FRAME_PARENTS.
+LINK8_OFFSET = _origin((0.0, 0.0, 0.107), (0.0, 0.0, 0.0))
+HAND_OFFSET = _origin((0.0, 0.0, 0.0), (0.0, 0.0, -math.pi / 4.0))
+#: End-effector frame used as the policy/planning target frame
+#: ("right_gripper" in the reference, `run_inference.py:51`): +0.1 m along
+#: link8 z with a 3pi/4 z-rotation (robofin URDF convention). Calibration
+#: constants -- adjust here if fixtures from the reference become available.
+RIGHT_GRIPPER_OFFSET = _origin((0.0, 0.0, 0.1), (0.0, 0.0, 3.0 * math.pi / 4.0))
+#: Finger mount point on the hand (franka_description hand URDF).
+FINGER_MOUNT_Z = 0.0584
+#: Fingertip frame offset along the finger's local z (calibration constant;
+#: places the Lula fingertip spheres near the pad tips).
+FINGERTIP_Z = 0.045
+
+# Frame index table for the stacked FK output.
+FRAMES = (
+    "panda_link0",       # 0
+    "panda_link1",       # 1
+    "panda_link2",       # 2
+    "panda_link3",       # 3
+    "panda_link4",       # 4
+    "panda_link5",       # 5
+    "panda_link6",       # 6
+    "panda_link7",       # 7
+    "panda_link8",       # 8
+    "panda_hand",        # 9
+    "panda_leftfinger",  # 10
+    "panda_rightfinger",  # 11
+    "panda_leftfingertip",   # 12
+    "panda_rightfingertip",  # 13
+    "right_gripper",     # 14
+)
+FRAME_INDEX = {name: i for i, name in enumerate(FRAMES)}
+NUM_FRAMES = len(FRAMES)
+EFF_FRAME = FRAME_INDEX["right_gripper"]
+
+
+# ---------------------------------------------------------------------------
+# Collision-sphere model (57 spheres over 11 frames)
+# ---------------------------------------------------------------------------
+# Transcribed from /root/reference/config/franka_robot_description.yaml:57-182
+# into (frame, center, radius) rows.
+
+_S = []
+
+
+def _sph(frame: str, center, radius: float) -> None:
+    _S.append((FRAME_INDEX[frame], center, radius))
+
+
+_sph("panda_link0", (0.0, 0.0, 0.05), 0.08)
+for c in ((0.0, -0.08, 0.0), (0.0, -0.03, 0.0), (0.0, 0.0, -0.12), (0.0, 0.0, -0.17)):
+    _sph("panda_link1", c, 0.06)
+for c in ((0.0, 0.0, 0.03), (0.0, 0.0, 0.08), (0.0, -0.12, 0.0), (0.0, -0.17, 0.0)):
+    _sph("panda_link2", c, 0.06)
+_sph("panda_link3", (0.0, 0.0, -0.06), 0.05)
+_sph("panda_link3", (0.0, 0.0, -0.1), 0.06)
+_sph("panda_link3", (0.08, 0.06, 0.0), 0.055)
+_sph("panda_link3", (0.08, 0.02, 0.0), 0.055)
+_sph("panda_link4", (0.0, 0.0, 0.02), 0.055)
+_sph("panda_link4", (0.0, 0.0, 0.06), 0.055)
+_sph("panda_link4", (-0.08, 0.095, 0.0), 0.06)
+_sph("panda_link4", (-0.08, 0.06, 0.0), 0.055)
+_sph("panda_link5", (0.0, 0.055, 0.0), 0.06)
+_sph("panda_link5", (0.0, 0.075, 0.0), 0.06)
+_sph("panda_link5", (0.0, 0.0, -0.22), 0.06)
+_sph("panda_link5", (0.0, 0.05, -0.18), 0.05)
+for x in (0.01, -0.01):
+    _sph("panda_link5", (x, 0.08, -0.14), 0.025)
+    _sph("panda_link5", (x, 0.085, -0.11), 0.025)
+    _sph("panda_link5", (x, 0.09, -0.08), 0.025)
+    _sph("panda_link5", (x, 0.095, -0.05), 0.025)
+_sph("panda_link6", (0.0, 0.0, 0.0), 0.06)
+_sph("panda_link6", (0.08, 0.03, 0.0), 0.06)
+_sph("panda_link6", (0.08, -0.01, 0.0), 0.06)
+_sph("panda_link7", (0.0, 0.0, 0.07), 0.05)
+_sph("panda_link7", (0.02, 0.04, 0.08), 0.025)
+_sph("panda_link7", (0.04, 0.02, 0.08), 0.025)
+_sph("panda_link7", (0.04, 0.06, 0.085), 0.02)
+_sph("panda_link7", (0.06, 0.04, 0.085), 0.02)
+for y in (-0.075, -0.045, -0.015, 0.015, 0.045, 0.075):
+    _sph("panda_hand", (0.0, y, 0.01), 0.028)
+for y in (-0.075, -0.045, -0.015, 0.015, 0.045, 0.075):
+    _sph("panda_hand", (0.0, y, 0.03), 0.026)
+for y in (-0.075, -0.045, -0.015, 0.015, 0.045, 0.075):
+    _sph("panda_hand", (0.0, y, 0.05), 0.024)
+_sph("panda_leftfingertip", (0.0, 0.0075, 0.0), 0.0108)
+_sph("panda_rightfingertip", (0.0, -0.0075, 0.0), 0.0108)
+
+#: Frame index of each collision sphere, [57].
+SPHERE_FRAMES = np.array([s[0] for s in _S], dtype=np.int32)
+#: Local-frame center of each collision sphere, [57, 3].
+SPHERE_CENTERS = np.array([s[1] for s in _S], dtype=np.float64)
+#: Radius of each collision sphere, [57].
+SPHERE_RADII = np.array([s[2] for s in _S], dtype=np.float64)
+NUM_SPHERES = len(_S)
+assert NUM_SPHERES == 57, NUM_SPHERES
+del _S
+
+#: Unique radii groups (the reference's FrankaCollisionSampler iterates by
+#: radius group, ``model.py:300-303``).
+UNIQUE_RADII = np.unique(SPHERE_RADII)
+
+
+# ---------------------------------------------------------------------------
+# Self-collision pair table
+# ---------------------------------------------------------------------------
+# Sphere-model self collision (replacement for robofin's
+# FrankaSelfCollisionChecker, used at ``metrics.py:31,266``): a pair of
+# collision spheres on sufficiently-separated links collides when their
+# world-frame distance drops below the sum of radii. Neighboring links in the
+# chain always overlap and are excluded, mirroring the standard Franka SRDF
+# adjacency exclusions.
+
+def _self_collision_pairs() -> np.ndarray:
+    # Map each sphere frame to a "link index" along the chain for adjacency.
+    chain_pos = {
+        FRAME_INDEX["panda_link0"]: 0,
+        FRAME_INDEX["panda_link1"]: 1,
+        FRAME_INDEX["panda_link2"]: 2,
+        FRAME_INDEX["panda_link3"]: 3,
+        FRAME_INDEX["panda_link4"]: 4,
+        FRAME_INDEX["panda_link5"]: 5,
+        FRAME_INDEX["panda_link6"]: 6,
+        FRAME_INDEX["panda_link7"]: 7,
+        FRAME_INDEX["panda_hand"]: 8,
+        FRAME_INDEX["panda_leftfingertip"]: 9,
+        FRAME_INDEX["panda_rightfingertip"]: 9,
+    }
+    # SRDF-style extra exclusions (links that are adjacent in space despite
+    # being >1 apart in the chain; the Panda SRDF disables these checks).
+    extra_excluded = {
+        (0, 2), (1, 3), (2, 4), (3, 5), (4, 6), (5, 7), (6, 8), (6, 9),
+        (7, 9), (5, 8), (5, 9), (4, 8), (4, 9), (3, 7), (3, 8),
+    }
+    pairs = []
+    for i in range(NUM_SPHERES):
+        for j in range(i + 1, NUM_SPHERES):
+            a = chain_pos[int(SPHERE_FRAMES[i])]
+            b = chain_pos[int(SPHERE_FRAMES[j])]
+            lo, hi = min(a, b), max(a, b)
+            if hi - lo <= 1:
+                continue
+            if (lo, hi) in extra_excluded:
+                continue
+            pairs.append((i, j))
+    return np.array(pairs, dtype=np.int32)
+
+
+#: [P, 2] indices into the sphere table for allowed self-collision checks.
+SELF_COLLISION_PAIRS = _self_collision_pairs()
+#: [P] squared contact distances for each pair.
+SELF_COLLISION_THRESH = (
+    SPHERE_RADII[SELF_COLLISION_PAIRS[:, 0]] + SPHERE_RADII[SELF_COLLISION_PAIRS[:, 1]]
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class FrankaConstants:
+    """Bundle handed to jitted kernels (all arrays are numpy; convert with
+    jnp.asarray at trace time)."""
+
+    joint_limits: np.ndarray = dataclasses.field(default_factory=lambda: JOINT_LIMITS)
+    real_joint_limits: np.ndarray = dataclasses.field(
+        default_factory=lambda: REAL_JOINT_LIMITS
+    )
+    joint_origins: np.ndarray = dataclasses.field(default_factory=lambda: JOINT_ORIGINS)
+    sphere_frames: np.ndarray = dataclasses.field(default_factory=lambda: SPHERE_FRAMES)
+    sphere_centers: np.ndarray = dataclasses.field(
+        default_factory=lambda: SPHERE_CENTERS
+    )
+    sphere_radii: np.ndarray = dataclasses.field(default_factory=lambda: SPHERE_RADII)
