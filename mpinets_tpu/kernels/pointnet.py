@@ -73,8 +73,12 @@ def ball_query(
     # Sort key: index when in ball, else a sentinel beyond every real index.
     key = jnp.where(in_ball, idx, n)
     # smallest-k == first-k in index order; top_k finds largest so negate.
-    neg_topk, _ = jax.lax.top_k(-key, nsample)
-    first_k = -neg_topk  # [B, S, nsample], ascending index order
+    k = min(nsample, n)
+    neg_topk, _ = jax.lax.top_k(-key, k)
+    first_k = -neg_topk  # [B, S, k], ascending index order
+    if k < nsample:  # degenerate N < nsample case: pad with sentinels
+        pad = jnp.full((b, s, nsample - k), n, jnp.int32)
+        first_k = jnp.concatenate([first_k, pad], axis=-1)
     found = first_k < n
     first_found = first_k[..., :1]  # slot 0: first in-ball index, or sentinel
     fill = jnp.where(first_found < n, first_found, 0)

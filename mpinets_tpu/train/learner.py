@@ -1,0 +1,147 @@
+"""The behavior-cloning learner: optimizer, train step, and the
+data-parallel (DP) sharded step.
+
+Replaces the reference's PyTorch-Lightning trainer + NCCL DDP
+(``/root/reference/mpinets/run_training.py:71-115``,
+``mpinets/model.py:185-240``) with optax + ``jax.shard_map`` over a device
+mesh: the batch is sharded along the data axis, gradients are ``psum``-ed
+over ICI, and parameters stay replicated -- the TPU-native equivalent of
+Lightning's ``DDPStrategy`` gradient all-reduce (SURVEY.md §2.3).
+
+Reference hyperparameters honored: Adam lr 1e-4 (``model.py:72``),
+grad-clip 1.0 (``run_training.py:110``), loss weights point-match 1 :
+collision 5 (``jobconfig.yaml:23-25``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mpinets_tpu.geom.scene import SceneSet
+from mpinets_tpu.model.policy import MotionPolicyNetwork
+from mpinets_tpu.train import loss as losses
+
+LEARNING_RATE = 1e-4
+GRAD_CLIP = 1.0
+POINT_MATCH_WEIGHT = 1.0
+COLLISION_WEIGHT = 5.0
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(
+    learning_rate: float = LEARNING_RATE, grad_clip: float = GRAD_CLIP
+) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adam(learning_rate),
+    )
+
+
+def init_state(
+    model: MotionPolicyNetwork,
+    rng: jax.Array,
+    example_batch: Dict[str, jnp.ndarray],
+    optimizer: optax.GradientTransformation | None = None,
+) -> TrainState:
+    optimizer = optimizer or make_optimizer()
+    params = model.init(rng, example_batch["xyz"], example_batch["configuration"])
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+
+def scene_from_batch(batch: Dict[str, jnp.ndarray]) -> SceneSet:
+    return SceneSet(
+        cuboid_centers=batch["cuboid_centers"],
+        cuboid_dims=batch["cuboid_dims"],
+        cuboid_quats=batch["cuboid_quats"],
+        cylinder_centers=batch["cylinder_centers"],
+        cylinder_radii=batch["cylinder_radii"],
+        cylinder_heights=batch["cylinder_heights"],
+        cylinder_quats=batch["cylinder_quats"],
+    )
+
+
+def loss_fn(
+    model: MotionPolicyNetwork, params, batch: Dict[str, jnp.ndarray]
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Forward + weighted loss (``model.py:185-240`` training_step)."""
+    q = batch["configuration"]
+    delta = model.apply(params, batch["xyz"], q)
+    y_hat = jnp.clip(q + delta, -1.0, 1.0)  # model.py:202
+    collision, point_match = losses.bc_losses(
+        y_hat, batch["supervision"], scene_from_batch(batch)
+    )
+    total = POINT_MATCH_WEIGHT * point_match + COLLISION_WEIGHT * collision
+    return total, {
+        "point_match_loss": point_match,
+        "collision_loss": collision,
+        "val_loss": total,  # reference's (misnamed) training loss log key
+    }
+
+
+def make_train_step(
+    model: MotionPolicyNetwork,
+    optimizer: optax.GradientTransformation | None = None,
+):
+    """Single-device (or already-sharded-by-jit) train step."""
+    optimizer = optimizer or make_optimizer()
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        (_, metrics), grads = jax.value_and_grad(
+            functools.partial(loss_fn, model), has_aux=True
+        )(state.params, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_data_parallel_step(
+    model: MotionPolicyNetwork,
+    mesh: Mesh,
+    optimizer: optax.GradientTransformation | None = None,
+    data_axis: str = "data",
+):
+    """DP train step over a device mesh: batch sharded on ``data_axis``,
+    params replicated, gradient psum-mean over ICI (the NCCL all-reduce
+    equivalent, SURVEY.md §2.3 item 1)."""
+    optimizer = optimizer or make_optimizer()
+
+    def _step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        (_, metrics), grads = jax.value_and_grad(
+            functools.partial(loss_fn, model), has_aux=True
+        )(state.params, batch)
+        grads = jax.lax.pmean(grads, data_axis)
+        metrics = jax.lax.pmean(metrics, data_axis)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    batch_spec = P(data_axis)
+    replicated = P()
+    sharded = jax.shard_map(
+        _step,
+        mesh=mesh,
+        in_specs=(replicated, batch_spec),
+        out_specs=(replicated, replicated),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh, data_axis: str = "data"):
+    """Place a host batch with the leading axis sharded across the mesh."""
+    sharding = NamedSharding(mesh, P(data_axis))
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
