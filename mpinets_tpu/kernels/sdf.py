@@ -121,6 +121,37 @@ def cylinder_sdf(
     return jnp.min(sdf, axis=-2)
 
 
+def scene_sdf_per_primitive(points: jnp.ndarray, scene) -> jnp.ndarray:
+    """Per-primitive SDF values, cuboids first then cylinders (no
+    min-reduction; padding primitives give +inf).
+
+    Needed by the evaluator's negative-volume region check
+    (``/root/reference/mpinets/metrics.py:364-384,508-512``), which requires
+    *each* volume's sign rather than the scene min.
+
+    points: [..., N, 3] -> [..., M1 + M2, N]
+    """
+    cub_mask = ~jnp.any(_is_zero(scene.cuboid_dims), axis=-1)
+    local = _points_in_primitive_frames(points, scene.cuboid_centers, scene.cuboid_quats)
+    q = jnp.abs(local) - scene.cuboid_dims[..., :, None, :] / 2
+    cub = _safe_norm(jnp.maximum(q, 0.0)) + jnp.minimum(jnp.max(q, axis=-1), 0.0)
+    cub = jnp.where(cub_mask[..., None], cub, jnp.inf)
+
+    cyl_mask = ~(
+        _is_zero(scene.cylinder_radii[..., 0]) | _is_zero(scene.cylinder_heights[..., 0])
+    )
+    local = _points_in_primitive_frames(
+        points, scene.cylinder_centers, scene.cylinder_quats
+    )
+    radial = _safe_norm(local[..., :2])
+    dz = jnp.abs(local[..., 2]) - scene.cylinder_heights[..., :, None, 0] / 2
+    dr = radial - scene.cylinder_radii[..., :, None, 0]
+    q2 = jnp.stack([dr, dz], axis=-1)
+    cyl = _safe_norm(jnp.maximum(q2, 0.0)) + jnp.minimum(jnp.max(q2, axis=-1), 0.0)
+    cyl = jnp.where(cyl_mask[..., None], cyl, jnp.inf)
+    return jnp.concatenate([cub, cyl], axis=-2)
+
+
 def scene_sdf(points: jnp.ndarray, scene) -> jnp.ndarray:
     """Min of the cuboid and cylinder scene SDFs (the reference composes them
     with ``torch.minimum`` in both the loss (loss.py:88) and validation
