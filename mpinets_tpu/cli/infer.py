@@ -1,0 +1,147 @@
+"""Inference / evaluation CLI.
+
+Mirrors the reference's evaluator driver
+(``/root/reference/mpinets/run_inference.py:423-474``)::
+
+    python -m mpinets_tpu.cli.infer <checkpoint> <problems.pkl>
+        {tabletop|cubby|merged-cubby|dresser|all}
+        {task-oriented|neutral-start|neutral-goal|all}
+        [--save-metrics DIR] [--max-problems N] [--batch-size B]
+
+``checkpoint`` may be a PyTorch-Lightning ``.ckpt`` (converted on load,
+:mod:`mpinets_tpu.model.checkpoint`) or an orbax checkpoint directory.
+Instead of the reference's one-problem-at-a-time GPU loop with per-step
+host syncs (``run_inference.py:137-191``), whole problem groups run as
+batched lockstep rollouts on device; per-problem planning time is reported
+as the batch wall-clock share weighted by each problem's step count.
+
+The reference's ``--use-depth`` mode (PyBullet depth-camera re-rendering of
+primitive scenes, ``run_inference.py:194-257``) and Meshcat/PyBullet
+visualization are host-GPU-sim features that are out of scope on TPU; see
+README for the supported surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpinets_tpu.data import problems as problems_mod
+from mpinets_tpu.eval.metrics import Evaluator
+from mpinets_tpu.model import checkpoint as ckpt_mod
+from mpinets_tpu.model.policy import MotionPolicyNetwork
+from mpinets_tpu.rollout.engine import MAX_ROLLOUT_LENGTH, make_rollout_fn
+
+SCENE_TYPES = ("tabletop", "cubby", "merged-cubby", "dresser")
+PROBLEM_TYPES = ("task-oriented", "neutral-start", "neutral-goal")
+
+
+def load_params(path: str, model: MotionPolicyNetwork):
+    p = Path(path)
+    if p.is_dir():
+        example = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 6272, 4)), jnp.zeros((1, 7))
+        )
+        step_dir = ckpt_mod.latest_checkpoint(p) or p
+        restored = ckpt_mod.restore_checkpoint(step_dir, None)
+        if isinstance(restored, dict) and "params" in restored:
+            return restored
+        # TrainState layout: take .params
+        if hasattr(restored, "params"):
+            return restored.params
+        del example
+        return restored
+    return ckpt_mod.load_torch_checkpoint(p)
+
+
+def evaluate_problem_set(
+    params,
+    problem_set,
+    scene_filter: str = "all",
+    type_filter: str = "all",
+    batch_size: int = 32,
+    max_problems: int | None = None,
+    max_steps: int = MAX_ROLLOUT_LENGTH,
+    model: MotionPolicyNetwork | None = None,
+) -> Evaluator:
+    model = model or MotionPolicyNetwork(compute_dtype=jnp.bfloat16)
+    rollout = make_rollout_fn(model, max_steps=max_steps)
+    evaluator = Evaluator()
+    rng = jax.random.PRNGKey(0)
+
+    for scene_type, by_type in problem_set.items():
+        if scene_filter != "all" and scene_type != scene_filter:
+            continue
+        for problem_type, problems in by_type.items():
+            if type_filter != "all" and problem_type != type_filter:
+                continue
+            if max_problems is not None:
+                problems = problems[:max_problems]
+            if not problems:
+                continue
+            group_key = f"{scene_type}_{problem_type}"
+            evaluator.create_new_group(group_key)
+            print(f"== group {group_key}: {len(problems)} problems", flush=True)
+
+            for lo in range(0, len(problems), batch_size):
+                chunk = problems[lo : lo + batch_size]
+                batch = problems_mod.problems_to_batch(chunk)
+                problem = batch["problem"]
+                t0 = time.perf_counter()
+                result = jax.block_until_ready(
+                    rollout(params, problem, jax.random.fold_in(rng, lo))
+                )
+                wall = time.perf_counter() - t0
+                num_steps = np.asarray(result.num_steps)
+                total_steps = max(int(num_steps.sum()), 1)
+                times = wall * num_steps / total_steps
+                evaluator.evaluate_batch(
+                    np.asarray(result.trajectories),
+                    num_steps,
+                    np.asarray(problem.target_rot),
+                    np.asarray(problem.target_trans),
+                    problem.scene,
+                    batch["target_volumes"],
+                    batch["negative_volumes"],
+                    times=times,
+                )
+            evaluator.print_group_metrics(group_key)
+    return evaluator
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("checkpoint")
+    parser.add_argument("problems")
+    parser.add_argument("scene_type", choices=SCENE_TYPES + ("all",))
+    parser.add_argument("problem_type", choices=PROBLEM_TYPES + ("all",))
+    parser.add_argument("--save-metrics", default=None, metavar="DIR")
+    parser.add_argument("--max-problems", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--fp32", action="store_true",
+                        help="evaluate in fp32 instead of bf16")
+    args = parser.parse_args(argv)
+
+    model = MotionPolicyNetwork(
+        compute_dtype=jnp.float32 if args.fp32 else jnp.bfloat16
+    )
+    params = load_params(args.checkpoint, model)
+    problem_set = problems_mod.load_problems(args.problems)
+    evaluator = evaluate_problem_set(
+        params, problem_set, args.scene_type, args.problem_type,
+        batch_size=args.batch_size, max_problems=args.max_problems, model=model,
+    )
+    print("\n== overall ==")
+    evaluator.print_overall_metrics()
+    if args.save_metrics:
+        Path(args.save_metrics).mkdir(parents=True, exist_ok=True)
+        evaluator.save(args.save_metrics, "mpinets_tpu_eval")
+
+
+if __name__ == "__main__":
+    main()

@@ -72,7 +72,11 @@ def scene_from_batch(batch: Dict[str, jnp.ndarray]) -> SceneSet:
 
 
 def loss_fn(
-    model: MotionPolicyNetwork, params, batch: Dict[str, jnp.ndarray]
+    model: MotionPolicyNetwork,
+    params,
+    batch: Dict[str, jnp.ndarray],
+    point_match_weight: float = POINT_MATCH_WEIGHT,
+    collision_weight: float = COLLISION_WEIGHT,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Forward + weighted loss (``model.py:185-240`` training_step)."""
     q = batch["configuration"]
@@ -81,7 +85,7 @@ def loss_fn(
     collision, point_match = losses.bc_losses(
         y_hat, batch["supervision"], scene_from_batch(batch)
     )
-    total = POINT_MATCH_WEIGHT * point_match + COLLISION_WEIGHT * collision
+    total = point_match_weight * point_match + collision_weight * collision
     return total, {
         "point_match_loss": point_match,
         "collision_loss": collision,
@@ -92,15 +96,23 @@ def loss_fn(
 def make_train_step(
     model: MotionPolicyNetwork,
     optimizer: optax.GradientTransformation | None = None,
+    point_match_weight: float = POINT_MATCH_WEIGHT,
+    collision_weight: float = COLLISION_WEIGHT,
 ):
     """Single-device (or already-sharded-by-jit) train step."""
     optimizer = optimizer or make_optimizer()
+    loss = functools.partial(
+        loss_fn,
+        model,
+        point_match_weight=point_match_weight,
+        collision_weight=collision_weight,
+    )
 
     @jax.jit
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        (_, metrics), grads = jax.value_and_grad(
-            functools.partial(loss_fn, model), has_aux=True
-        )(state.params, batch)
+        (_, metrics), grads = jax.value_and_grad(loss, has_aux=True)(
+            state.params, batch
+        )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
@@ -113,16 +125,31 @@ def make_data_parallel_step(
     mesh: Mesh,
     optimizer: optax.GradientTransformation | None = None,
     data_axis: str = "data",
+    point_match_weight: float = POINT_MATCH_WEIGHT,
+    collision_weight: float = COLLISION_WEIGHT,
+    prepare_fn=None,
 ):
     """DP train step over a device mesh: batch sharded on ``data_axis``,
     params replicated, gradient psum-mean over ICI (the NCCL all-reduce
-    equivalent, SURVEY.md §2.3 item 1)."""
-    optimizer = optimizer or make_optimizer()
+    equivalent, SURVEY.md §2.3 item 1).
 
-    def _step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        (_, metrics), grads = jax.value_and_grad(
-            functools.partial(loss_fn, model), has_aux=True
-        )(state.params, batch)
+    ``prepare_fn(raw_shard, key) -> batch_shard`` optionally fuses the
+    on-device input pipeline (point-cloud assembly + augmentation,
+    :func:`mpinets_tpu.data.hdf5.prepare_train_batch`) into the sharded
+    step, keyed per device; when set, the step signature gains a PRNG key:
+    ``step(state, raw_batch, key)``."""
+    optimizer = optimizer or make_optimizer()
+    loss = functools.partial(
+        loss_fn,
+        model,
+        point_match_weight=point_match_weight,
+        collision_weight=collision_weight,
+    )
+
+    def _core(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        (_, metrics), grads = jax.value_and_grad(loss, has_aux=True)(
+            state.params, batch
+        )
         grads = jax.lax.pmean(grads, data_axis)
         metrics = jax.lax.pmean(metrics, data_axis)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
@@ -131,13 +158,26 @@ def make_data_parallel_step(
 
     batch_spec = P(data_axis)
     replicated = P()
-    sharded = jax.shard_map(
-        _step,
-        mesh=mesh,
-        in_specs=(replicated, batch_spec),
-        out_specs=(replicated, replicated),
-        check_vma=False,
-    )
+    if prepare_fn is None:
+        sharded = jax.shard_map(
+            _core,
+            mesh=mesh,
+            in_specs=(replicated, batch_spec),
+            out_specs=(replicated, replicated),
+            check_vma=False,
+        )
+    else:
+        def _step(state, raw, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
+            return _core(state, prepare_fn(raw, key))
+
+        sharded = jax.shard_map(
+            _step,
+            mesh=mesh,
+            in_specs=(replicated, batch_spec, replicated),
+            out_specs=(replicated, replicated),
+            check_vma=False,
+        )
     return jax.jit(sharded)
 
 

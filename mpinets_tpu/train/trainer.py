@@ -1,0 +1,243 @@
+"""The training driver: DP-sharded BC learning with periodic closed-loop
+validation, wall-clock + epoch-end checkpointing, and JSONL metric logging.
+
+Replaces the reference's PyTorch-Lightning trainer stack
+(``/root/reference/mpinets/run_training.py:43-204``): Lightning's DDP/NCCL
+becomes a ``jax.shard_map`` DP step over the local device mesh
+(:func:`mpinets_tpu.train.learner.make_data_parallel_step`); Lightning's
+``ModelCheckpoint`` pair (every N minutes + epoch end, both monitoring
+``val_loss``; ``run_training.py:85-104``) becomes orbax checkpoints on the
+same cadence; W&B logging becomes a local JSONL metrics stream (the
+reference's log keys are kept: ``point_match_loss``, ``collision_loss``,
+``val_loss``, ``avg_target_error``, ``avg_collision_rate``,
+``model.py:233-239,347-352``).
+
+Data modes:
+* ``hdf5``: the published dataset layout, streamed by
+  :class:`mpinets_tpu.data.hdf5.InstanceLoader` with all per-item assembly
+  fused into the sharded train step.
+* ``synthetic``: fully on-device pseudo-expert batches
+  (:func:`mpinets_tpu.data.synthetic.training_batch`) for environments
+  without the dataset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+import uuid
+from pathlib import Path
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mpinets_tpu.cli.config import TrainJobConfig, to_dict
+from mpinets_tpu.data import hdf5 as hdf5_data
+from mpinets_tpu.data import synthetic
+from mpinets_tpu.geom.assembly import PointCloudSizes
+from mpinets_tpu.kernels import kinematics
+from mpinets_tpu.model import checkpoint as ckpt
+from mpinets_tpu.model.policy import MotionPolicyNetwork
+from mpinets_tpu.train import learner, validate
+
+
+class MetricLogger:
+    """Append-only JSONL metrics + stdout echo (the W&B stand-in)."""
+
+    def __init__(self, path: Optional[Path], echo_every: int = 50):
+        self.path = path
+        self.echo_every = echo_every
+        if path is not None:
+            path.parent.mkdir(parents=True, exist_ok=True)
+
+    def log(self, step: int, metrics: Dict[str, float], force_echo=False) -> None:
+        row = {"step": step, "time": time.time(), **metrics}
+        if self.path is not None:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+        if force_echo or step % self.echo_every == 0:
+            printable = " ".join(f"{k}={v:.5f}" for k, v in metrics.items())
+            print(f"[step {step}] {printable}", flush=True)
+
+
+@dataclasses.dataclass
+class Trainer:
+    cfg: TrainJobConfig
+    test: bool = False  # --test smoke mode (run_training.py:68-70)
+    should_log: bool = True
+    should_checkpoint: bool = True
+
+    def __post_init__(self):
+        self.devices = jax.devices()
+        self.mesh = Mesh(np.array(self.devices), ("data",))
+        self.n_devices = len(self.devices)
+        self.global_batch = self.cfg.optim.batch_size * self.n_devices
+        self.sizes = PointCloudSizes(
+            robot=self.cfg.data.num_robot_points,
+            obstacle=self.cfg.data.num_obstacle_points,
+            target=self.cfg.data.num_target_points,
+        )
+        self.model = MotionPolicyNetwork(
+            compute_dtype=jnp.bfloat16 if self.cfg.optim.bf16 else jnp.float32,
+            sa_npoints=tuple(self.cfg.model.sa_npoints),
+            sa_nsamples=tuple(self.cfg.model.sa_nsamples),
+            sa_radii=tuple(self.cfg.model.sa_radii),
+        )
+        self.optimizer = learner.make_optimizer(
+            self.cfg.optim.learning_rate, self.cfg.optim.gradient_clip_val
+        )
+        self.experiment_id = f"{self.cfg.experiment_name}-{uuid.uuid4().hex[:8]}"
+        exp_dir = Path(self.cfg.save_checkpoint_dir).resolve() / self.experiment_id
+        self.ckpt_dir = exp_dir
+        self.logger = MetricLogger(
+            exp_dir / "metrics.jsonl" if self.should_log else None
+        )
+        self._data_sharding = NamedSharding(self.mesh, P("data"))
+
+    # -- data ---------------------------------------------------------------
+
+    def _synthetic_batches(self, key) -> Iterator[Dict[str, jnp.ndarray]]:
+        step = 0
+        while True:
+            yield synthetic.training_batch(
+                jax.random.fold_in(key, step), self.global_batch,
+                sizes=self.sizes, random_scale=self.cfg.data.random_scale,
+            )
+            step += 1
+
+    def _make_stream(self):
+        """Returns (batch iterator, batches_per_epoch, prepare_fn or None)."""
+        if self.cfg.data.synthetic:
+            key = jax.random.PRNGKey(self.cfg.seed + 1)
+            return self._synthetic_batches(key), 1000, None
+
+        dataset = hdf5_data.TrajectoryDataset(
+            self.cfg.data.data_dir,
+            self.cfg.data.trajectory_key,
+            hdf5_data.DatasetType.TRAIN,
+        )
+        loader = hdf5_data.InstanceLoader(
+            dataset, self.global_batch, seed=self.cfg.seed
+        )
+
+        def prepare_fn(raw, key):
+            return hdf5_data.prepare_train_batch(
+                raw, key, sizes=self.sizes,
+                random_scale=self.cfg.data.random_scale, train=True,
+            )
+
+        return iter(loader), loader.batches_per_epoch(), prepare_fn
+
+    def _val_problems(self, key) -> synthetic.Problem:
+        n = 3 if self.test else self.cfg.max_val_problems
+        n = max(self.n_devices, (n // self.n_devices) * self.n_devices)
+        if self.cfg.data.synthetic:
+            return synthetic.random_problem_batch(key, n)
+        dataset = hdf5_data.TrajectoryDataset(
+            self.cfg.data.data_dir,
+            self.cfg.data.trajectory_key,
+            hdf5_data.DatasetType.VAL,
+        )
+        idx = np.arange(min(n, dataset.num_trajectories))
+        batch = dataset.read_trajectory_batch(idx)
+        rot, trans = jax.jit(kinematics.eff_pose)(jnp.asarray(batch["raw_goal"]))
+        return synthetic.Problem(
+            q0=jnp.asarray(batch["raw_configuration"]),
+            target_rot=rot,
+            target_trans=trans,
+            scene=hdf5_data.scene_from_arrays(batch),
+        )
+
+    # -- main loop ------------------------------------------------------------
+
+    def run(self) -> learner.TrainState:
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        stream, batches_per_epoch, prepare_fn = self._make_stream()
+
+        example = next(stream)
+        if prepare_fn is not None:
+            example_prepared = jax.device_get(
+                hdf5_data.prepare_train_batch(
+                    {k: jnp.asarray(v[: self.n_devices]) for k, v in example.items()},
+                    rng, sizes=self.sizes,
+                )
+            )
+            init_batch = {k: jnp.asarray(v) for k, v in example_prepared.items()}
+        else:
+            init_batch = example
+        state = learner.init_state(self.model, rng, init_batch, self.optimizer)
+
+        step_fn = learner.make_data_parallel_step(
+            self.model, self.mesh, self.optimizer,
+            point_match_weight=cfg.loss.point_match_loss_weight,
+            collision_weight=cfg.loss.collision_loss_weight,
+            prepare_fn=prepare_fn,
+        )
+        validate_fn = validate.make_validation_fn(
+            self.model, cfg.rollout.val_rollout_length, self.sizes
+        )
+        val_problems = self._val_problems(jax.random.fold_in(rng, 999))
+
+        max_epochs = 1 if self.test else cfg.optim.max_epochs
+        limit_batches = 10 if self.test else batches_per_epoch
+        val_interval = 2 if self.test else cfg.validation_interval
+
+        if self.should_log:
+            (self.ckpt_dir).mkdir(parents=True, exist_ok=True)
+            with open(self.ckpt_dir / "config.json", "w") as f:
+                json.dump(to_dict(cfg), f, indent=2)
+        print(
+            f"experiment {self.experiment_id}: {self.n_devices} device(s), "
+            f"global batch {self.global_batch}, "
+            f"{limit_batches} batches/epoch x {max_epochs} epochs",
+            flush=True,
+        )
+
+        last_ckpt_time = time.time()
+        step = 0
+        for epoch in range(max_epochs):
+            for _ in range(limit_batches):
+                batch = example if step == 0 else next(stream)
+                batch = {
+                    k: jax.device_put(np.asarray(v), self._data_sharding)
+                    for k, v in batch.items()
+                }
+                if prepare_fn is not None:
+                    state, metrics = step_fn(
+                        state, batch, jax.random.fold_in(rng, step)
+                    )
+                else:
+                    state, metrics = step_fn(state, batch)
+                step += 1
+
+                if step % 50 == 0 or step == 1:
+                    host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    self.logger.log(step, host)
+
+                if step % val_interval == 0:
+                    val_key = jax.random.fold_in(jax.random.fold_in(rng, 0x5A11), step)
+                    val = jax.device_get(
+                        validate_fn(state.params, val_problems, val_key)
+                    )
+                    self.logger.log(
+                        step, {k: float(v) for k, v in val.items()}, force_echo=True
+                    )
+
+                if (
+                    self.should_checkpoint
+                    and time.time() - last_ckpt_time > cfg.checkpoint_interval * 60
+                ):
+                    ckpt.save_checkpoint(self.ckpt_dir, step, state)
+                    last_ckpt_time = time.time()
+
+            if self.should_checkpoint:
+                ckpt.save_checkpoint(self.ckpt_dir, step, state)
+                last_ckpt_time = time.time()
+            print(f"epoch {epoch} done at step {step}", flush=True)
+
+        return state

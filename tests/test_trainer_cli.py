@@ -1,0 +1,110 @@
+"""Trainer / CLI smoke tests on the 8-virtual-device CPU mesh."""
+
+import json
+
+import numpy as np
+import pytest
+
+from mpinets_tpu.cli.config import TrainJobConfig, load_config
+from mpinets_tpu.data import writer
+
+
+TINY = dict(
+    data=dict(num_robot_points=64, num_obstacle_points=96, num_target_points=32),
+    model=dict(sa_npoints=[16, 8], sa_nsamples=[8, 8], sa_radii=[0.05, 0.3]),
+    optim=dict(batch_size=1, bf16=False),
+    rollout=dict(val_rollout_length=3),
+    max_val_problems=8,
+)
+
+
+def test_load_reference_jobconfig():
+    cfg = load_config("/root/reference/jobconfig.yaml")
+    assert cfg.loss.collision_loss_weight == 5
+    assert cfg.optim.batch_size == 10
+    assert cfg.validation_interval == 3000
+    assert cfg.data.num_obstacle_points == 4096
+
+
+def test_load_config_rejects_unknown():
+    import yaml, tempfile, os
+
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False) as f:
+        yaml.safe_dump({"not_a_key": 1}, f)
+        path = f.name
+    try:
+        with pytest.raises(KeyError):
+            load_config(path)
+    finally:
+        os.unlink(path)
+
+
+def test_trainer_synthetic_smoke(tmp_path):
+    from mpinets_tpu.train.trainer import Trainer
+
+    cfg = load_config(None, overrides={**TINY, "save_checkpoint_dir": str(tmp_path)})
+    cfg.data.synthetic = True
+    trainer = Trainer(cfg, test=True, should_log=True, should_checkpoint=True)
+    state = trainer.run()
+    assert int(state.step) == 10
+    # Metrics were logged and a checkpoint was written.
+    metrics_file = trainer.ckpt_dir / "metrics.jsonl"
+    rows = [json.loads(line) for line in open(metrics_file)]
+    assert any("val_loss" in r for r in rows)
+    assert any("avg_target_error" in r for r in rows)
+    from mpinets_tpu.model.checkpoint import latest_checkpoint
+
+    assert latest_checkpoint(trainer.ckpt_dir) is not None
+
+
+def test_trainer_hdf5_smoke(tmp_path):
+    from mpinets_tpu.train.trainer import Trainer
+
+    data_dir = tmp_path / "data"
+    writer.write_synthetic_dataset(data_dir, "train", num_trajectories=8, seed=0)
+    writer.write_synthetic_dataset(data_dir, "val", num_trajectories=8, seed=1)
+    cfg = load_config(
+        None, overrides={**TINY, "save_checkpoint_dir": str(tmp_path / "ckpt")}
+    )
+    cfg.data.data_dir = str(data_dir)
+    trainer = Trainer(cfg, test=True, should_log=False, should_checkpoint=False)
+    state = trainer.run()
+    assert int(state.step) == 10
+
+
+def test_infer_cli_on_native_problems(tmp_path, capsys):
+    import jax
+    import jax.numpy as jnp
+
+    from mpinets_tpu import types as T
+    from mpinets_tpu.cli.infer import evaluate_problem_set
+    from mpinets_tpu.data import problems as P
+    from mpinets_tpu.kernels import kinematics
+    from mpinets_tpu.model.policy import MotionPolicyNetwork
+    from mpinets_tpu.robot import franka
+
+    # Problems whose target is the FK pose of a nearby config.
+    q0 = np.asarray(franka.NEUTRAL_Q)
+    rot, pos = jax.jit(kinematics.eff_pose)(jnp.asarray(q0 + 0.05))
+    quat = T.matrix_to_quat_np(np.asarray(rot, np.float64))
+    prob = T.PlanningProblem(
+        target=T.Pose(np.asarray(pos), quat),
+        target_volume=T.Cuboid(np.asarray(pos), (1.0, 1.0, 1.0), (1, 0, 0, 0)),
+        q0=q0,
+        obstacles=[T.Cuboid((5.0, 5.0, 5.0), (0.1, 0.1, 0.1), (1, 0, 0, 0))],
+    )
+    pset = {"tabletop": {"task-oriented": [prob, prob]}}
+
+    model = MotionPolicyNetwork(
+        sa_npoints=(16, 8), sa_nsamples=(8, 8), sa_radii=(0.05, 0.3)
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 6272, 4)), jnp.zeros((1, 7))
+    )
+    ev = evaluate_problem_set(
+        params, pset, "all", "all", batch_size=2, max_steps=3, model=model
+    )
+    metrics = ev.metrics(ev.groups["tabletop_task-oriented"])
+    assert metrics["total"] == 2
+    out = capsys.readouterr().out
+    assert "% Success" in out
