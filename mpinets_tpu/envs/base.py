@@ -1,0 +1,199 @@
+"""Environment-generation protocol: procedural scenes + pose/config
+candidate pairs.
+
+TPU-native re-design of the reference's ``Environment`` ABC
+(``/root/reference/mpinets/data_pipeline/environments/base_environment.py:36-205``).
+The reference generates candidates one at a time with IKFast + a PyBullet
+collision check; here every environment builds its scene with plain numpy and
+then solves *batches* of candidate poses with the jitted multi-seed DLS IK
+(:mod:`mpinets_tpu.kernels.ik`), filtering by the 57-sphere scene/self
+collision model on device.
+
+Protocol (mirrors base_environment.py):
+
+* ``gen(rng)`` -> bool: build a random scene and one demonstration candidate
+  pair; on success ``obstacles``/``cuboids``/``cylinders`` and
+  ``demo_candidates`` (2 task-oriented candidates) are set.
+* ``gen_additional_candidate_sets(n, rng)`` -> list of candidate lists.
+* ``gen_neutral_candidates(n, rng)`` -> collision-free neutral-pose
+  candidates sampled in free configuration space.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from abc import ABC, abstractmethod
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from mpinets_tpu import types
+from mpinets_tpu.geom.scene import SceneSet, pack_scenes
+from mpinets_tpu.kernels import ik
+from mpinets_tpu.robot import franka
+from mpinets_tpu.types import Cuboid, Cylinder, Pose
+
+
+@dataclasses.dataclass
+class Candidate:
+    """A pose/config pair (base_environment.py:46-58)."""
+
+    pose: Pose
+    config: np.ndarray  # [7]
+    negative_volumes: List[types.Primitive] = dataclasses.field(
+        default_factory=list
+    )
+
+
+class TaskOrientedCandidate(Candidate):
+    """Candidate attached to a task surface/volume (base_environment.py:62)."""
+
+
+@dataclasses.dataclass
+class NeutralCandidate(Candidate):
+    """Candidate drawn from free configuration space
+    (base_environment.py:68-75)."""
+
+
+def radius_sample(rng: np.random.Generator, center: float, radius: float) -> float:
+    """Uniform sample in [center - radius, center + radius]
+    (base_environment.py ``radius_sample``)."""
+    return float(rng.uniform(center - radius, center + radius))
+
+
+def pose_from_z_axis(
+    z_axis: np.ndarray, position: np.ndarray, yaw: float = 0.0
+) -> Pose:
+    """Build an EE pose whose approach (+z) axis is ``z_axis``, rotated by
+    ``yaw`` about that axis. Gives the down/horizontal-pointing gripper poses
+    the environments need without any URDF machinery."""
+    z = np.asarray(z_axis, dtype=np.float64)
+    z = z / np.linalg.norm(z)
+    helper = np.array([1.0, 0.0, 0.0]) if abs(z[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+    x = np.cross(helper, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    rot = np.stack([x, y, z], axis=-1)
+    c, s = np.cos(yaw), np.sin(yaw)
+    rz = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    return Pose(position, types.matrix_to_quat_np(rot @ rz))
+
+
+class Environment(ABC):
+    """Procedural scene + candidate generator."""
+
+    def __init__(self) -> None:
+        self.obstacles: List[types.Primitive] = []
+        self.demo_candidates: List[TaskOrientedCandidate] = []
+        self._scene_cache: Optional[SceneSet] = None
+
+    # -- scene access (base_environment.py obstacle properties) -------------
+    @property
+    def cuboids(self) -> List[Cuboid]:
+        return [o for o in self.obstacles if isinstance(o, Cuboid)]
+
+    @property
+    def cylinders(self) -> List[Cylinder]:
+        return [o for o in self.obstacles if isinstance(o, Cylinder)]
+
+    def scene_set(self) -> SceneSet:
+        """The padded device SceneSet for this scene (cached)."""
+        if self._scene_cache is None:
+            self._scene_cache = pack_scenes(
+                [[types.cuboid_tuple(c) for c in self.cuboids]],
+                [[types.cylinder_tuple(c) for c in self.cylinders]],
+            )
+        return self._scene_cache
+
+    def _invalidate_scene(self) -> None:
+        self._scene_cache = None
+
+    # -- generation protocol -------------------------------------------------
+    @abstractmethod
+    def gen(self, rng: np.random.Generator) -> bool:
+        """Generate a scene + a demonstration candidate pair."""
+
+    @abstractmethod
+    def sample_candidate_poses(
+        self, rng: np.random.Generator, how_many: int
+    ) -> List[Pose]:
+        """Propose task-oriented EE poses for this scene (pre-IK)."""
+
+    def gen_candidates(
+        self, rng: np.random.Generator, how_many: int,
+        negative_volumes: Optional[Sequence[types.Primitive]] = None,
+        oversample: int = 4,
+    ) -> List[TaskOrientedCandidate]:
+        """Batched IK over proposed poses; keep the collision-free solves.
+
+        Proposes ``oversample * how_many`` poses, solves them in one jitted
+        batch, and returns up to ``how_many`` feasible candidates.
+        """
+        poses = self.sample_candidate_poses(rng, oversample * how_many)
+        if not poses:
+            return []
+        rot = np.stack([p.matrix[:3, :3] for p in poses])
+        trans = np.stack([p.position for p in poses])
+        key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
+        # Unbatched scene: the SDF kernels broadcast it over the pose batch.
+        scene = jax.tree_util.tree_map(lambda x: x[0], self.scene_set())
+        res = ik.collision_free_ik(
+            key, rot.astype(np.float32), trans.astype(np.float32), scene
+        )
+        out: List[TaskOrientedCandidate] = []
+        ok = np.asarray(res.converged)
+        qs = np.asarray(res.q)
+        for i in np.nonzero(ok)[0]:
+            if len(out) >= how_many:
+                break
+            out.append(
+                TaskOrientedCandidate(
+                    pose=poses[i],
+                    config=qs[i].astype(np.float64),
+                    negative_volumes=list(negative_volumes or []),
+                )
+            )
+        return out
+
+    def gen_additional_candidate_sets(
+        self, how_many: int, rng: np.random.Generator
+    ) -> List[List[TaskOrientedCandidate]]:
+        """``how_many`` independent candidate sets (base_environment.py
+        ``gen_additional_candidate_sets``)."""
+        return [self.gen_candidates(rng, 10) for _ in range(how_many)]
+
+    def gen_neutral_candidates(
+        self, how_many: int, rng: np.random.Generator
+    ) -> List[NeutralCandidate]:
+        """Collision-free samples around the neutral pose
+        (base_environment.py ``gen_neutral_candidates``): random
+        configurations biased toward the neutral posture, accepted when the
+        sphere model clears the scene."""
+        n_try = 8 * how_many
+        limits = franka.REAL_JOINT_LIMITS
+        span = limits[:, 1] - limits[:, 0]
+        qs = franka.NEUTRAL_Q + rng.normal(0.0, 0.25, size=(n_try, 7)) * span / 4
+        qs = np.clip(qs, limits[:, 0], limits[:, 1]).astype(np.float32)
+
+        scene = jax.tree_util.tree_map(lambda x: x[0], self.scene_set())
+        free = np.asarray(ik.franka_free_space(qs, scene, margin=0.01))
+
+        from mpinets_tpu.kernels import kinematics
+
+        out: List[NeutralCandidate] = []
+        rots, transs = kinematics.eff_pose(qs)
+        rots, transs = np.asarray(rots), np.asarray(transs)
+        for i in np.nonzero(free)[0]:
+            if len(out) >= how_many:
+                break
+            out.append(
+                NeutralCandidate(
+                    pose=Pose(
+                        transs[i].astype(np.float64),
+                        types.matrix_to_quat_np(rots[i].astype(np.float64)),
+                    ),
+                    config=qs[i].astype(np.float64),
+                )
+            )
+        return out

@@ -1,0 +1,195 @@
+"""Expert-trajectory synthesis and verification, batched in JAX.
+
+The reference's expert pipeline (``/root/reference/mpinets/data_pipeline/
+gen_data.py``) plans with OMPL AIT* + NVIDIA Lula geometric fabrics — CPU
+C++ libraries that are deliberately not rebuilt here (SURVEY.md §2.2: the
+published datasets are pregenerated). What *is* rebuilt, TPU-native, is
+everything around the planner that defines the data contract:
+
+* **candidate path synthesis** — smooth configuration-space paths between
+  candidate pairs (direct + via-waypoint minimum-jerk families), batched;
+* **verification** (``gen_data.py:327-430``): target miss > 5 cm, jerk
+  > 0.15, self-collision, environment collision, joint limits — all five
+  predicates evaluated on device over whole batches of trajectories;
+* **constant-velocity retiming to 50 steps** (``gen_data.py:310-324``).
+
+Any planner (including an external OMPL run) can be slotted in as a
+trajectory source; the verification + retiming + writing path is shared.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mpinets_tpu.geom.scene import SceneSet  # noqa: F401  (type reference)
+from mpinets_tpu.kernels import kinematics, sdf
+from mpinets_tpu.robot import franka
+
+SEQUENCE_LENGTH = 50      # gen_data.py:77
+MAX_JERK = 0.15           # gen_data.py:80
+MISS_TOLERANCE = 0.05     # 5 cm, gen_data.py verification
+#: Dense sample count used for collision checking before retiming.
+DENSE_STEPS = 150
+
+
+class VerifyResult(NamedTuple):
+    """Per-trajectory failure predicates (gen_data.py:91-103 error codes)."""
+
+    valid: jnp.ndarray           # [...]
+    miss: jnp.ndarray            # [...] final EE position error (m)
+    max_jerk: jnp.ndarray        # [...] max |third difference|
+    has_self_collision: jnp.ndarray  # [...]
+    has_env_collision: jnp.ndarray   # [...]
+    within_limits: jnp.ndarray       # [...]
+
+
+def min_jerk_interp(q_a: jnp.ndarray, q_b: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Minimum-jerk time scaling of the straight segment a->b: [..., length, 7]."""
+    s = jnp.linspace(0.0, 1.0, length)
+    s = 10 * s**3 - 15 * s**4 + 6 * s**5
+    return q_a[..., None, :] + s[:, None] * (q_b - q_a)[..., None, :]
+
+
+def via_point_path(
+    q_a: jnp.ndarray, q_via: jnp.ndarray, q_b: jnp.ndarray, length: int
+) -> jnp.ndarray:
+    """Two blended minimum-jerk segments a->via->b with continuous velocity
+    (the second half starts where the first ends), [..., length, 7]."""
+    h = length // 2
+    first = min_jerk_interp(q_a, q_via, h + 1)
+    second = min_jerk_interp(q_via, q_b, length - h)
+    return jnp.concatenate([first[..., :-1, :], second], axis=-2)
+
+
+def constant_velocity_retime(
+    traj: jnp.ndarray, length: int = SEQUENCE_LENGTH
+) -> jnp.ndarray:
+    """Resample a path to ``length`` steps at constant configuration-space
+    speed (``gen_data.py:310-324``): uniform positions along cumulative arc
+    length, linear interpolation between input supports.
+
+    traj: [T, 7] -> [length, 7]
+    """
+    seg = jnp.linalg.norm(jnp.diff(traj, axis=0), axis=-1)  # [T-1]
+    cum = jnp.concatenate([jnp.zeros((1,), traj.dtype), jnp.cumsum(seg)])
+    total = jnp.maximum(cum[-1], 1e-9)
+    s_new = jnp.linspace(0.0, 1.0, length) * total
+    idx = jnp.clip(jnp.searchsorted(cum, s_new, side="right") - 1, 0,
+                   traj.shape[0] - 2)
+    s0 = cum[idx]
+    s1 = cum[idx + 1]
+    w = jnp.where(s1 > s0, (s_new - s0) / jnp.maximum(s1 - s0, 1e-12), 0.0)
+    return traj[idx] + w[:, None] * (traj[idx + 1] - traj[idx])
+
+
+def trajectory_max_jerk(traj: jnp.ndarray) -> jnp.ndarray:
+    """Max |third finite difference| over steps and joints
+    (the reference's jerk cutoff operates on the retimed 50-step
+    trajectory, ``gen_data.py:80,396-430``). traj: [..., T, 7] -> [...]."""
+    jerk = jnp.diff(traj, n=3, axis=-2)
+    return jnp.max(jnp.abs(jerk), axis=(-2, -1))
+
+
+def env_collision_any(traj: jnp.ndarray, scene) -> jnp.ndarray:
+    """True when any collision sphere penetrates the scene at any step.
+
+    traj: [T, 7]; scene unbatched -> bool []
+    """
+    centers = kinematics.collision_spheres(traj)  # [T, 57, 3]
+    radii = jnp.asarray(franka.SPHERE_RADII, traj.dtype)
+    d = sdf.scene_sdf(centers.reshape(-1, 3)[None], scene)[0]
+    d = d.reshape(traj.shape[0], -1)
+    return jnp.any(d < radii, axis=(0, 1))
+
+
+def verify_trajectory(
+    traj: jnp.ndarray,
+    target_rot: jnp.ndarray,
+    target_trans: jnp.ndarray,
+    scene,
+) -> VerifyResult:
+    """All five reference failure predicates on one trajectory
+    (``gen_data.py:396-430``). traj: [T, 7]; vmap for batches."""
+    _, trans = kinematics.eff_pose(traj[-1])
+    miss = jnp.linalg.norm(trans - target_trans, axis=-1)
+    jerk = trajectory_max_jerk(traj)
+    self_c = jnp.any(kinematics.self_collision(traj))
+    env_c = env_collision_any(traj, scene)
+    limits = jnp.all(kinematics.within_limits(traj))
+    valid = (
+        (miss <= MISS_TOLERANCE)
+        & (jerk <= MAX_JERK)
+        & ~self_c
+        & ~env_c
+        & limits
+    )
+    return VerifyResult(valid, miss, jerk, self_c, env_c, limits)
+
+
+class PlanResult(NamedTuple):
+    trajectory: jnp.ndarray  # [SEQUENCE_LENGTH, 7]
+    valid: jnp.ndarray       # [] bool
+    which: jnp.ndarray       # [] int32: index of the accepted candidate path
+
+
+@functools.partial(jax.jit, static_argnames=())
+def plan_pair(
+    q_start: jnp.ndarray,
+    q_goal: jnp.ndarray,
+    target_rot: jnp.ndarray,
+    target_trans: jnp.ndarray,
+    scene,
+) -> PlanResult:
+    """Plan one candidate pair: try a family of smooth paths, verify each on
+    the dense sampling, and keep the first valid one retimed to 50 steps.
+
+    The family plays the role of the reference's AIT* + fabric pipeline at
+    the scale this environment supports: direct minimum-jerk, via the
+    neutral posture, and via two lifted blends of start/goal with the
+    neutral elbow. vmap over pairs for batch planning.
+    """
+    neutral = jnp.asarray(franka.NEUTRAL_Q, q_start.dtype)
+    mid = (q_start + q_goal) / 2
+    candidates = jnp.stack(
+        [
+            min_jerk_interp(q_start, q_goal, DENSE_STEPS),
+            via_point_path(q_start, neutral, q_goal, DENSE_STEPS),
+            via_point_path(q_start, 0.5 * mid + 0.5 * neutral, q_goal,
+                           DENSE_STEPS),
+            via_point_path(q_start, 0.75 * mid + 0.25 * neutral, q_goal,
+                           DENSE_STEPS),
+        ]
+    )  # [C, T, 7]
+
+    results = jax.vmap(
+        lambda t: verify_trajectory(t, target_rot, target_trans, scene)
+    )(candidates)
+    # Jerk is checked on the *retimed* trajectory below; for selection use
+    # the collision/limit/miss predicates on the dense path.
+    ok_dense = (
+        (results.miss <= MISS_TOLERANCE)
+        & ~results.has_self_collision
+        & ~results.has_env_collision
+        & results.within_limits
+    )
+    which = jnp.argmax(ok_dense)  # first True (argmax of bools)
+    traj = constant_velocity_retime(candidates[which])
+    final = verify_trajectory(traj, target_rot, target_trans, scene)
+    return PlanResult(traj, jnp.any(ok_dense) & final.valid, which.astype(jnp.int32))
+
+
+def plan_pairs_batch(
+    q_starts: jnp.ndarray,
+    q_goals: jnp.ndarray,
+    target_rots: jnp.ndarray,
+    target_transs: jnp.ndarray,
+    scene,
+) -> PlanResult:
+    """vmap of :func:`plan_pair` over a batch sharing one scene."""
+    return jax.vmap(plan_pair, in_axes=(0, 0, 0, 0, None))(
+        q_starts, q_goals, target_rots, target_transs, scene
+    )
