@@ -80,6 +80,22 @@ def pose_from_z_axis(
     return Pose(position, types.matrix_to_quat_np(rot @ rz))
 
 
+def pose_from_xz_axes(
+    x_axis: np.ndarray, z_axis: np.ndarray, position: np.ndarray
+) -> Pose:
+    """Build a pose from fully-specified gripper x (finger) and z (approach)
+    axes, with y = z × x — the frame construction the reference's cubby/
+    dresser candidate samplers use (``SE3.from_unit_axes``,
+    ``cubby_environment.py:532-541``)."""
+    x = np.asarray(x_axis, dtype=np.float64)
+    z = np.asarray(z_axis, dtype=np.float64)
+    x = x / np.linalg.norm(x)
+    z = z / np.linalg.norm(z)
+    y = np.cross(z, x)
+    rot = np.stack([x, y, z], axis=-1)
+    return Pose(position, types.matrix_to_quat_np(rot))
+
+
 class Environment(ABC):
     """Procedural scene + candidate generator."""
 
@@ -123,12 +139,16 @@ class Environment(ABC):
     def gen_candidates(
         self, rng: np.random.Generator, how_many: int,
         negative_volumes: Optional[Sequence[types.Primitive]] = None,
-        oversample: int = 4,
+        oversample: int = 32,
     ) -> List[TaskOrientedCandidate]:
         """Batched IK over proposed poses; keep the collision-free solves.
 
         Proposes ``oversample * how_many`` poses, solves them in one jitted
-        batch, and returns up to ``how_many`` feasible candidates.
+        batch, and returns up to ``how_many`` feasible candidates. The
+        oversample is generous because the 57-sphere collision model is
+        conservative vs the reference's mesh checks (near-surface grasps have
+        ~5-10% sphere-clear yield; the reference tries up to 100 samples per
+        candidate, ``tabletop_environment.py:369``).
         """
         poses = self.sample_candidate_poses(rng, oversample * how_many)
         if not poses:

@@ -18,7 +18,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-from mpinets_tpu.envs.base import Environment, pose_from_z_axis
+from mpinets_tpu.envs.base import Environment, pose_from_xz_axes
 from mpinets_tpu.types import Cuboid, Pose
 
 MAX_YAW = np.radians(10.0)  # cubby_environment.py:57-122
@@ -143,22 +143,20 @@ class CubbyEnvironment(Environment):
     def sample_candidate_poses(
         self, rng: np.random.Generator, how_many: int
     ) -> List[Pose]:
-        """Downward-pointing poses inside random pockets
-        (cubby_environment.py:505-549)."""
-        p = self.params
-        rot = _rot_z(p.yaw)
+        """Horizontal-approach poses inside random pockets, matching the
+        reference's ``random_pose_and_config``
+        (cubby_environment.py:505-549): approach axis z = [cosθ, sinθ, 0]
+        with θ ~ U(-π/4, π/4) pointing into the open front, finger axis
+        x = [0, 0, -1]. (A downward wrist inside an enclosed pocket would
+        extend into the shelf above — advisor finding r1.)"""
         poses = []
         for _ in range(how_many):
             lo, hi = self.pockets[rng.integers(len(self.pockets))]
             local = rng.uniform(lo, hi)
-            # Keep the wrist above the pocket floor: bias z upward.
-            local[2] = rng.uniform((lo[2] + hi[2]) / 2, hi[2])
-            world = rot @ local
-            poses.append(
-                pose_from_z_axis(
-                    [0.0, 0.0, -1.0], world, yaw=rng.uniform(0, 2 * np.pi)
-                )
-            )
+            world = _rot_z(self.params.yaw) @ local
+            theta = rng.uniform(-np.pi / 4, np.pi / 4)
+            z = np.array([np.cos(theta), np.sin(theta), 0.0])
+            poses.append(pose_from_xz_axes([0.0, 0.0, -1.0], z, world))
         return poses
 
     def gen(self, rng: np.random.Generator) -> bool:

@@ -16,15 +16,17 @@ from typing import List
 
 import numpy as np
 
-from mpinets_tpu.envs.base import Environment, TaskOrientedCandidate, pose_from_z_axis
+from mpinets_tpu.envs.base import Environment, TaskOrientedCandidate
+from mpinets_tpu import types
 from mpinets_tpu.types import Cuboid, Cylinder, Pose
 
 TABLE_HEIGHT_MAX = 0.4
 NUM_OBJECTS_RANGE = (3, 15)
 OBJECT_DIM_RANGE = (0.03, 0.25)
-#: Candidate z above the surface (tabletop_environment.py:43-49): linearly
-#: decreasing density over [0.05, 0.35] m.
-CANDIDATE_Z_RANGE = (0.05, 0.35)
+#: Candidate offset above the support surface
+#: (tabletop_environment.py:386: ``random_linear_decrease() * (0.12 - 0.01)
+#: + 0.01``): linearly decreasing density over [0.01, 0.12] m.
+CANDIDATE_Z_RANGE = (0.01, 0.12)
 
 
 def _height_biased(rng: np.random.Generator, lo: float, hi: float) -> float:
@@ -110,24 +112,29 @@ class TabletopEnvironment(Environment):
     def sample_candidate_poses(
         self, rng: np.random.Generator, how_many: int
     ) -> List[Pose]:
-        """Downward-pointing poses above the surfaces with randomized tilt
-        (tabletop_environment.py:354-404)."""
+        """Poses above the support surface, matching the reference's
+        ``gen_candidate`` (tabletop_environment.py:354-404): the sampled
+        point is raised to the top of any object it lands on, offset
+        0.01-0.12 m above with linearly-decreasing density, and oriented by
+        rpy with roll ~ U(3π/4, 5π/4), pitch ~ U(-π/8, π/8),
+        yaw ~ U(-π/2, π/2) (down-pointing gripper family)."""
+        objects = self.obstacles[len(self.table_tops):]
         poses = []
         for _ in range(how_many):
             p = self._surface_point(rng)
-            z = _height_biased(rng, *CANDIDATE_Z_RANGE)
-            # Approach axis: mostly straight down with up to ~30 deg tilt.
-            tilt = rng.uniform(0.0, np.pi / 6)
-            azim = rng.uniform(0.0, 2 * np.pi)
-            approach = np.array(
-                [np.sin(tilt) * np.cos(azim), np.sin(tilt) * np.sin(azim),
-                 -np.cos(tilt)]
-            )
-            poses.append(
-                pose_from_z_axis(
-                    approach, [p[0], p[1], p[2] + z], yaw=rng.uniform(0, 2 * np.pi)
-                )
-            )
+            # Raise onto the top of any object under the sampled xy
+            # (reference: o.sdf(p) <= 0.01 -> p.z := object top).
+            for o in objects:
+                if o.sdf(p) <= 0.01:
+                    if isinstance(o, Cuboid):
+                        p[2] = o.center[2] + o.dims[2] / 2
+                    elif isinstance(o, Cylinder):
+                        p[2] = o.center[2] + o.height / 2
+            p[2] += _height_biased(rng, *CANDIDATE_Z_RANGE)
+            roll = rng.uniform(3 * np.pi / 4, 5 * np.pi / 4)
+            pitch = rng.uniform(-np.pi / 8, np.pi / 8)
+            yaw = rng.uniform(-np.pi / 2, np.pi / 2)
+            poses.append(Pose(p, _rpy_quat(roll, pitch, yaw)))
         return poses
 
     def gen(self, rng: np.random.Generator) -> bool:
@@ -144,3 +151,15 @@ class TabletopEnvironment(Environment):
 
 def _yaw_quat(yaw: float) -> list:
     return [float(np.cos(yaw / 2)), 0.0, 0.0, float(np.sin(yaw / 2))]
+
+
+def _rpy_quat(roll: float, pitch: float, yaw: float) -> np.ndarray:
+    """wxyz quaternion from fixed-axis rpy (Rz @ Ry @ Rx, the geometrout
+    ``SO3.from_rpy`` convention the reference uses)."""
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    rz = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+    ry = np.array([[cp, 0.0, sp], [0.0, 1.0, 0.0], [-sp, 0.0, cp]])
+    rx = np.array([[1.0, 0.0, 0.0], [0.0, cr, -sr], [0.0, sr, cr]])
+    return types.matrix_to_quat_np(rz @ ry @ rx)

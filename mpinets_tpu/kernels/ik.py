@@ -72,7 +72,7 @@ def pose_residual(
     rot, trans = kinematics.eff_pose(q)
     pos_err = target_trans - trans
     r = jnp.einsum("...ij,...kj->...ik", target_rot, rot)
-    ori_err = 0.5 * jnp.stack(
+    skew = 0.5 * jnp.stack(
         [
             r[..., 2, 1] - r[..., 1, 2],
             r[..., 0, 2] - r[..., 2, 0],
@@ -80,6 +80,17 @@ def pose_residual(
         ],
         axis=-1,
     )
+    # Rescale the sin-axis vector toward the log map: |skew| = sin(theta),
+    # so multiplying by theta/sin(theta) gives magnitude theta. The bare
+    # sin-axis form vanishes as theta -> pi, making the antipodal flip a
+    # spurious GN plateau (r2 fix: seeds visibly converged to pi flips).
+    # The factor is clipped so jacfwd stays bounded at both ends.
+    tr = r[..., 0, 0] + r[..., 1, 1] + r[..., 2, 2]
+    cos = jnp.clip((tr - 1.0) / 2.0, -1.0 + 1e-6, 1.0 - 1e-6)
+    theta = jnp.arccos(cos)
+    sin = jnp.sqrt(jnp.maximum(1.0 - cos * cos, 1e-12))
+    factor = jnp.clip(theta / sin, 1.0, 16.0)
+    ori_err = skew * factor[..., None]
     return jnp.concatenate([pos_err, ori_err], axis=-1)
 
 
@@ -87,11 +98,15 @@ def pose_errors(
     q: jnp.ndarray, target_rot: jnp.ndarray, target_trans: jnp.ndarray
 ):
     """(pos_err [...], ori_err_rad [...]) true geodesic metrics for
-    acceptance tests (not differentiated)."""
+    acceptance tests (not differentiated).
+
+    The angle comes from the trace form arccos((tr - 1)/2), which is valid on
+    ALL of SO(3) including exactly-pi flips — the log map's skew part
+    vanishes there, which is precisely the blind spot this gate closes."""
     rot, trans = kinematics.eff_pose(q)
     pos = jnp.linalg.norm(target_trans - trans, axis=-1)
-    r = jnp.einsum("...ij,...kj->...ik", target_rot, rot)
-    ori = jnp.linalg.norm(_rot_log(r), axis=-1)
+    r = jnp.einsum("...ij,...ij->...", target_rot, rot)  # tr(Rt^T R)
+    ori = jnp.arccos(jnp.clip((r - 1.0) / 2.0, -1.0, 1.0))
     return pos, ori
 
 
@@ -113,7 +128,10 @@ def _dls_solve(
 
     def body(q, _):
         e = resid(q)                      # [6]
-        j = jac_fn(q)                     # [6, 7]
+        # jacfwd of the residual (target - fk) is the NEGATIVE manipulator
+        # Jacobian; the DLS step dq = J^T (J J^T + l^2 I)^-1 e uses J = d
+        # pose/dq, hence the minus sign (r2 fix: the unnegated form ascends).
+        j = -jac_fn(q)                    # [6, 7]
         jjt = j @ j.T + (damping**2) * eye6
         dq = j.T @ jax.scipy.linalg.solve(jjt, e, assume_a="pos")
         q = jnp.clip(q + dq, limits[:, 0], limits[:, 1])
@@ -156,11 +174,12 @@ def solve_ik(
     )
     qs = solve(seeds, target_rot, target_trans, iters, damping)  # [S, B, 7]
 
-    e = jax.vmap(pose_residual, in_axes=(0, None, None))(
+    # Acceptance uses the true geodesic angle (pose_errors), NOT the sin-axis
+    # residual: |sin(theta)| is ~0 at theta~pi, so gating on the residual
+    # would accept 180-degree-flipped solutions (advisor finding r1).
+    pos_err, ori_err = jax.vmap(pose_errors, in_axes=(0, None, None))(
         qs, target_rot, target_trans
-    )  # [S, B, 6]
-    pos_err = jnp.linalg.norm(e[..., :3], axis=-1)
-    ori_err = jnp.linalg.norm(e[..., 3:], axis=-1)
+    )  # [S, B] each
     score = pos_err + 0.1 * ori_err
     best = jnp.argmin(score, axis=0)  # [B]
 
@@ -211,9 +230,11 @@ def collision_free_ik(
     )
     qs = solve(seeds, target_rot, target_trans, iters, 0.05)  # [S, B, 7]
 
-    e = jax.vmap(pose_residual, in_axes=(0, None, None))(qs, target_rot, target_trans)
-    pos_err = jnp.linalg.norm(e[..., :3], axis=-1)  # [S, B]
-    ori_err = jnp.linalg.norm(e[..., 3:], axis=-1)
+    # Geodesic acceptance metrics (see solve_ik): the sin-axis residual norm
+    # is blind to antipodal (theta~pi) orientation flips.
+    pos_err, ori_err = jax.vmap(pose_errors, in_axes=(0, None, None))(
+        qs, target_rot, target_trans
+    )  # [S, B] each
     free = jax.vmap(franka_free_space, in_axes=(0, None, None))(qs, scene, margin)
     ok = (pos_err < POS_TOL) & (ori_err < ORI_TOL) & free
 

@@ -119,7 +119,9 @@ def verify_trajectory(
     jerk = trajectory_max_jerk(traj)
     self_c = jnp.any(kinematics.self_collision(traj))
     env_c = env_collision_any(traj, scene)
-    limits = jnp.all(kinematics.within_limits(traj))
+    # The reference verifies against the tighter empirical FrankaRealRobot
+    # limits (gen_data.py:391), not the published table (advisor finding r1).
+    limits = jnp.all(kinematics.within_limits(traj, use_real_constraints=True))
     valid = (
         (miss <= MISS_TOLERANCE)
         & (jerk <= MAX_JERK)

@@ -47,14 +47,26 @@ JOINT_LIMITS = np.array(
     dtype=np.float64,
 )
 
-#: Margin (radians) by which the "real robot" limits shrink the published
-#: range on each side. Calibration constant -- mirrors the reference's
-#: empirically-determined ``FrankaRealRobot.JOINT_LIMITS``.
-REAL_LIMIT_MARGIN = 0.02
-
-#: Empirical ("real robot") joint limits, the default normalization range in
-#: the reference (``mpinets/utils.py:50``).
-REAL_JOINT_LIMITS = JOINT_LIMITS + np.array([REAL_LIMIT_MARGIN, -REAL_LIMIT_MARGIN])
+#: Empirical ("real robot") joint limits — the default normalization range in
+#: the reference (``FrankaRealRobot.JOINT_LIMITS`` selected at
+#: ``mpinets/utils.py:50,84``). Transcribed from the public robofin package
+#: (fishbotics/robofin, ``robofin/robots.py`` class ``FrankaRealRobot``):
+#: each published limit pulled in by 0.02 rad ("unpublished — just found by
+#: monkeying around with the robot", ``mpinets/utils.py:44-47``). Every q the
+#: policy sees is normalized against THIS table, so these values are part of
+#: the checkpoint contract; ``tests/test_fk.py`` pins them as goldens.
+REAL_JOINT_LIMITS = np.array(
+    [
+        (-2.8773, 2.8773),
+        (-1.7428, 1.7428),
+        (-2.8773, 2.8773),
+        (-3.0518, -0.0898),
+        (-2.8773, 2.8773),
+        (0.0025, 3.7325),
+        (-2.8773, 2.8773),
+    ],
+    dtype=np.float64,
+)
 
 VELOCITY_LIMITS = np.array(
     [2.1750, 2.1750, 2.1750, 2.1750, 2.6100, 2.6100, 2.6100], dtype=np.float64
@@ -116,9 +128,17 @@ JOINT_ORIGINS = np.stack(
 LINK8_OFFSET = _origin((0.0, 0.0, 0.107), (0.0, 0.0, 0.0))
 HAND_OFFSET = _origin((0.0, 0.0, 0.0), (0.0, 0.0, -math.pi / 4.0))
 #: End-effector frame used as the policy/planning target frame
-#: ("right_gripper" in the reference, `run_inference.py:51`): +0.1 m along
-#: link8 z with a 3pi/4 z-rotation (robofin URDF convention). Calibration
-#: constants -- adjust here if fixtures from the reference become available.
+#: ("right_gripper" in the reference, ``run_inference.py:51``; defined in the
+#: robofin URDF). Position: +0.1 m along the hand/link8 z axis (between the
+#: fingertip pads -- the TCP). Orientation: the reference's candidate-pose
+#: constructions (``cubby_environment.py:532-541``: x = palm/down axis,
+#: y = finger-opening axis, z = approach axis) force right_gripper y to be
+#: parallel to panda_hand y and z to hand z, i.e. the frame equals the hand
+#: frame up to a z-rotation of 0 or pi -- a net link8 yaw of -pi/4 or +3pi/4.
+#: We use +3pi/4. RESIDUAL PARITY RISK: the pi flip is unresolvable without
+#: robofin's URDF or a published problem fixture (one FK evaluation against a
+#: hindsight-revised target in the Zenodo problem sets would settle it);
+#: flipping it means swapping this constant's yaw to -pi/4.
 RIGHT_GRIPPER_OFFSET = _origin((0.0, 0.0, 0.1), (0.0, 0.0, 3.0 * math.pi / 4.0))
 #: Finger mount point on the hand (franka_description hand URDF).
 FINGER_MOUNT_Z = 0.0584

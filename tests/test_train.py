@@ -12,6 +12,9 @@ from mpinets_tpu.model.policy import MotionPolicyNetwork
 from mpinets_tpu.train import learner
 from mpinets_tpu.train.loss import collision_loss, point_match_loss
 from mpinets_tpu.geom.scene import empty_scene
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: run via `pytest -m ''`
 
 TINY_SIZES = PointCloudSizes(robot=128, obstacle=192, target=32)
 TINY_MODEL = dict(sa_npoints=(64, 16), sa_nsamples=(32, 16))

@@ -5,6 +5,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: run via `pytest -m ''`
+
 from mpinets_tpu.cli.config import TrainJobConfig, load_config
 from mpinets_tpu.data import writer
 
