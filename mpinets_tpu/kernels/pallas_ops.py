@@ -29,19 +29,24 @@ from jax.experimental.pallas import tpu as pltpu
 _BATCH_TILE = 8
 
 
-def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, *, npoint: int):
+def _fps_kernel(
+    x_ref, y_ref, z_ref, out_ref, ox_ref, oy_ref, oz_ref, mind_ref,
+    *, npoint: int,
+):
     """Greedy FPS over one batch tile, fully VMEM-resident.
 
-    x/y/z: [TB, N] f32; out: [TB, npoint] i32; mind: [TB, N] f32 scratch.
+    x/y/z: [TB, N] f32; out: [TB, npoint] i32 (+ selected coords per slot);
+    mind: [TB, N] f32 scratch.
     """
     tb, n = x_ref.shape
+    npad = out_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (tb, n), 1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (tb, npad), 1)
 
-    out_ref[:, 0:1] = jnp.zeros((tb, 1), jnp.int32)
     mind_ref[:] = jnp.full((tb, n), jnp.inf, jnp.float32)
 
     def body(i, carry):
-        cx, cy, cz = carry  # [TB, 1] coords of the last selected point
+        cx, cy, cz, buf, bx, by, bz = carry
         d2 = (
             (x_ref[:] - cx) ** 2
             + (y_ref[:] - cy) ** 2
@@ -54,27 +59,46 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, *, npoint: int):
         # CUDA reduction used by pointnet2_ops).
         sel = md == m
         nxt = jnp.min(jnp.where(sel, lane, n), axis=1, keepdims=True)
-        out_ref[:, pl.ds(i, 1)] = nxt
         pick = lane == nxt
         zero = jnp.zeros_like(x_ref[:])
         cx = jnp.sum(jnp.where(pick, x_ref[:], zero), axis=1, keepdims=True)
         cy = jnp.sum(jnp.where(pick, y_ref[:], zero), axis=1, keepdims=True)
         cz = jnp.sum(jnp.where(pick, z_ref[:], zero), axis=1, keepdims=True)
-        return cx, cy, cz
+        # Dynamic single-lane stores are not expressible in Mosaic; keep the
+        # outputs in the carry via masked merges, written once at the end.
+        at = slot == i
+        buf = jnp.where(at, nxt, buf)
+        bx = jnp.where(at, cx, bx)
+        by = jnp.where(at, cy, by)
+        bz = jnp.where(at, cz, bz)
+        return cx, cy, cz, buf, bx, by, bz
 
-    init = (x_ref[:, 0:1], y_ref[:, 0:1], z_ref[:, 0:1])
-    jax.lax.fori_loop(1, npoint, body, init)
+    x0, y0, z0 = x_ref[:, 0:1], y_ref[:, 0:1], z_ref[:, 0:1]
+    init = (
+        x0, y0, z0,
+        jnp.zeros((tb, npad), jnp.int32),
+        jnp.broadcast_to(x0, (tb, npad)) * (slot == 0),
+        jnp.broadcast_to(y0, (tb, npad)) * (slot == 0),
+        jnp.broadcast_to(z0, (tb, npad)) * (slot == 0),
+    )
+    _, _, _, buf, bx, by, bz = jax.lax.fori_loop(1, npoint, body, init)
+    out_ref[:] = buf
+    ox_ref[:] = bx
+    oy_ref[:] = by
+    oz_ref[:] = bz
 
 
 @functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
-def furthest_point_sample(
+def furthest_point_sample_with_coords(
     xyz: jnp.ndarray, npoint: int, interpret: bool = False
-) -> jnp.ndarray:
-    """Pallas FPS: [B, N, 3] -> int32 [B, npoint].
+):
+    """Pallas FPS: [B, N, 3] -> (idx int32 [B, npoint], coords [B, npoint, 3]).
 
     Semantically identical to
     :func:`mpinets_tpu.kernels.pointnet.furthest_point_sample` (slot 0 is
-    index 0; greedy max-min-distance selection; first-index tie-breaking).
+    index 0; greedy max-min-distance selection; first-index tie-breaking),
+    additionally returning the selected points' coordinates so callers avoid
+    a separate (slow) XLA gather.
     """
     b, n, _ = xyz.shape
     tb = _BATCH_TILE
@@ -94,19 +118,336 @@ def furthest_point_sample(
     bp, np_ = x.shape
     grid = (bp // tb,)
     kernel = functools.partial(_fps_kernel, npoint=npoint)
-    out = pl.pallas_call(
+    spec = pl.BlockSpec((tb, np_), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (tb, npoint), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    idx, ox, oy, oz = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tb, np_), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, np_), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, np_), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (tb, npoint), lambda i: (i, 0), memory_space=pltpu.VMEM
+        in_specs=[spec, spec, spec],
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, npoint), jnp.int32),
+            jax.ShapeDtypeStruct((bp, npoint), jnp.float32),
+            jax.ShapeDtypeStruct((bp, npoint), jnp.float32),
+            jax.ShapeDtypeStruct((bp, npoint), jnp.float32),
         ),
-        out_shape=jax.ShapeDtypeStruct((bp, npoint), jnp.int32),
         scratch_shapes=[pltpu.VMEM((tb, np_), jnp.float32)],
         interpret=interpret,
     )(x, y, z)
-    return out[:b]
+    coords = jnp.stack([ox[:b], oy[:b], oz[:b]], axis=-1).astype(xyz.dtype)
+    return idx[:b], coords
+
+
+def furthest_point_sample(
+    xyz: jnp.ndarray, npoint: int, interpret: bool = False
+) -> jnp.ndarray:
+    """Pallas FPS indices only (see furthest_point_sample_with_coords)."""
+    return furthest_point_sample_with_coords(xyz, npoint, interpret)[0]
+
+
+# ---------------------------------------------------------------------------
+# Fused set-abstraction stage: ball query + first-k selection + grouping +
+# shared-MLP + max-pool, entirely VMEM-resident.
+# ---------------------------------------------------------------------------
+#
+# Replaces the reference's ball_query + grouping CUDA kernels plus the
+# grouped SharedMLP (``pointnet2_ops``, used at
+# ``/root/reference/mpinets/model.py:364-383``). The [B, S, ns, C] grouped
+# tensor never exists in HBM, and neither the indices nor the gathered data
+# ever round-trip through XLA's (catastrophically slow) gather/sort paths.
+#
+# Mosaic's dynamic_gather only works within ONE vreg along the gathered
+# dimension (lane gathers: tables <= 128 lanes wide, any number of rows), so
+# the whole stage is built from per-chunk-row lane permutations:
+#
+# * points are split into nc = N/128 "chunks" of 128 lanes; an in-ball mask
+#   per (centroid, chunk) row gives per-chunk inclusive counts via ONE
+#   matmul with a lower-triangular constant (MXU) and chunk offsets via a
+#   block-diagonal matmul -> cnt_global [TS*nc, 128], monotone per row.
+# * For every (chunk-row r, output slot j): the lane holding the point with
+#   global in-ball rank j+1 is #{l : cnt_global[r, l] <= j} -- found for all
+#   (r, j) at once with a 8-round lane-gather binary search.
+# * Raw channels (xyz + features) are then pulled with one lane-gather per
+#   (centroid, channel, chunk) row, masked to the slot range
+#   [base_excl[r], base_incl[r]) each chunk owns, and merged by a sum over
+#   the nc chunk rows -- slots are owned by exactly one chunk, so the sum IS
+#   the select. The CUDA fill-with-first semantics reduce to masking invalid
+#   slots out of the max-pool (duplicates never change a max) plus the
+#   count==0 point-0 special case.
+# * MLP layer 1 runs in-kernel on the gathered raw block [TS*ns, 3+C]
+#   (recentred xyz via per-centroid scalars), then layers 2..3 and the
+#   neighborhood max-pool -- all MXU matmuls on VMEM-resident data.
+
+_TS = 8  # centroids per grid step
+
+
+def _sa_kernel(
+    pts_ref,     # [1, P*NC, 128] channel planes (x, y, z, feat...) chunked
+    cx_ref,      # [1, 1, S] centroid coords (SMEM scalars)
+    cy_ref,
+    cz_ref,
+    w1_ref,      # [P8, C1] (P padded to sublane multiple)
+    b1_ref,      # [1, C1]
+    w2_ref,      # [C1, C2]
+    b2_ref,      # [1, C2]
+    w3_ref,      # [C2, C3]
+    b3_ref,      # [1, C3]
+    lt_ref,      # [128, 128] lower-triangular ones (bf16)
+    bd_ref,      # [RB, RB] block-diag strictly-lower-tri ones (f32)
+    out_ref,     # [1, TS, C3]
+    idx_ref,     # [1, TS, ns] selected indices (int32)
+    *,
+    radius: float,
+    nsample: int,
+    num_chunks: int,
+    num_planes: int,
+    compute_dtype,
+):
+    ts = _TS
+    nc = num_chunks
+    ns = nsample
+    p = num_planes        # 3 + C raw channels
+    rb = ts * nc          # chunk-rows in the tile
+    f32 = jnp.float32
+    jt = pl.program_id(1)
+
+    cxs = [cx_ref[0, 0, jt * ts + g] for g in range(ts)]
+    cys = [cy_ref[0, 0, jt * ts + g] for g in range(ts)]
+    czs = [cz_ref[0, 0, jt * ts + g] for g in range(ts)]
+
+    planes = pts_ref[0]                     # [p*nc, 128]
+    x = planes[0 * nc : 1 * nc].astype(f32)  # [nc, 128]
+    y = planes[1 * nc : 2 * nc].astype(f32)
+    z = planes[2 * nc : 3 * nc].astype(f32)
+
+    # ---- 1. squared distances + in-ball mask, [rb, 128] -------------------
+    parts = []
+    for g in range(ts):
+        dx = x - cxs[g]
+        dy = y - cys[g]
+        dz = z - czs[g]
+        parts.append(dx * dx + dy * dy + dz * dz)
+    d2 = jnp.concatenate(parts, axis=0)                  # [rb, 128]
+    in_ball = (d2 < radius * radius).astype(jnp.bfloat16)
+
+    # ---- 2. inclusive counts: per-chunk (MXU) + chunk offsets -------------
+    local_cnt = jnp.dot(
+        in_ball, lt_ref[:], preferred_element_type=f32
+    )                                                    # [rb, 128]
+    tot = local_cnt[:, 127:128]                          # [rb, 1]
+    base_excl = jnp.dot(bd_ref[:], tot, preferred_element_type=f32)
+    base_incl = base_excl + tot
+    cnt = local_cnt + base_excl                          # [rb, 128] monotone
+
+    # ---- 3. slot inversion: lane of rank j+1 per (chunk-row, slot) --------
+    # pos[r, j] = #{l : cnt[r, l] <= j}; 8-round binary search, all slots at
+    # once (j = lane). cnt is f32-exact (integer counts).
+    jlane = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 1)
+    jf = jlane.astype(f32)
+    lo = jnp.zeros((rb, 128), jnp.int32)
+    for step in (128, 64, 32, 16, 8, 4, 2, 1):
+        probe = jnp.minimum(lo + step - 1, 127)
+        gathered = jnp.take_along_axis(cnt, probe, axis=1)
+        ok = (gathered <= jf) & (lo + step <= 128)
+        lo = jnp.where(ok, lo + step, lo)
+    pos = jnp.minimum(lo, 127)                           # [rb, 128]
+
+    # ---- 4. per-chunk slot ownership masks ---------------------------------
+    valid = (jf >= base_excl) & (jf < base_incl)         # [rb, 128]
+    validf = valid.astype(f32)
+
+    # merged indices [ts, 128]: sum over each centroid's nc chunk rows
+    chunk_of = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 0) % nc
+    sel_contrib = (chunk_of * 128 + pos) * valid.astype(jnp.int32)
+    merged_idx = jnp.sum(sel_contrib.reshape(ts, nc, 128), axis=1)
+
+    # totals per centroid [ts, 1]
+    totals = jnp.sum(tot.reshape(ts, nc), axis=1, keepdims=True)  # [ts, 1]
+
+    # ---- 5-7. per centroid: gather channels, merge, layer-1 matmul ---------
+    # Recentring is folded into layer 1 algebraically:
+    # [xyz - c, feat] @ W1 = [xyz, feat] @ W1 - c . W1[:3], so the kernel
+    # subtracts B_g = c . W1[:3] per centroid after the matmul instead of
+    # editing gathered columns. The gather table is `planes` itself (no
+    # copies); the channel repetition of idx/mask is a lazy broadcast.
+    cdt = compute_dtype
+    w1 = w1_ref[:p].astype(cdt)
+    w1f = w1_ref[:p].astype(f32)
+    c1 = w1.shape[-1]
+    j128 = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    slot0 = j128 == 0
+    pts0 = [planes[ch * nc, 0].astype(f32) for ch in range(p)]
+    planes_f = planes.astype(f32)
+
+    h1_blocks = []
+    vmask_parts = []
+    for g in range(ts):
+        pos_g = pos[g * nc : (g + 1) * nc]                # [nc, 128]
+        val_g = validf[g * nc : (g + 1) * nc]
+        gidx = jnp.broadcast_to(pos_g, (p, nc, 128)).reshape(p * nc, 128)
+        gmask = jnp.broadcast_to(val_g, (p, nc, 128)).reshape(p * nc, 128)
+        gat = jnp.take_along_axis(planes_f, gidx, axis=1) * gmask
+        merged_g = jnp.sum(gat.reshape(p, nc, 128), axis=1)  # [p, 128]
+        raw_g = jnp.transpose(merged_g)                   # [128 slots, p]
+
+        b_g = (
+            cxs[g] * w1f[0:1] + cys[g] * w1f[1:2] + czs[g] * w1f[2:3]
+        )                                                 # [1, c1]
+        block = (
+            jnp.dot(raw_g.astype(cdt), w1, preferred_element_type=f32)
+            + b1_ref[:].astype(f32)
+            - b_g
+        )
+        # count == 0: CUDA leaves index 0 everywhere -> point 0's layer-1 row
+        # (only slot 0 survives the valid mask, so fixing it is sufficient).
+        h0 = b1_ref[:].astype(f32) - b_g
+        for ch in range(p):
+            h0 = h0 + pts0[ch] * w1f[ch : ch + 1]
+        tg = totals[g, 0]
+        block = jnp.where(
+            (tg < 0.5) & slot0, jnp.broadcast_to(h0, block.shape), block
+        )
+        h1_blocks.append(block)
+        vmask_parts.append(j128 < jnp.maximum(tg, 1.0).astype(jnp.int32))
+    h1 = jnp.concatenate(h1_blocks, axis=0)               # [ts*ns, c1]
+    vmask = jnp.concatenate(vmask_parts, axis=0)          # [ts*ns, 1]
+    h = jnp.maximum(h1, 0).astype(cdt)
+    h = jnp.maximum(
+        jnp.dot(h, w2_ref[:].astype(cdt), preferred_element_type=f32)
+        + b2_ref[:].astype(f32),
+        0,
+    ).astype(cdt)
+    h = jnp.maximum(
+        jnp.dot(h, w3_ref[:].astype(cdt), preferred_element_type=f32)
+        + b3_ref[:].astype(f32),
+        0,
+    )                                                     # [ts*ns, c3] f32
+    h = jnp.where(vmask, h, -jnp.inf)
+    c3 = h.shape[-1]
+    out_ref[0] = jnp.max(h.reshape(ts, ns, c3), axis=1).astype(out_ref.dtype)
+
+    # ---- 8. reference fill-with-first on the index output ------------------
+    fill = jnp.where(totals >= 1.0, merged_idx[:, 0:1], 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (ts, ns), 1)
+    idx_ref[0] = jnp.where(kj.astype(f32) < totals, merged_idx, fill)
+
+
+def _lt128() -> jnp.ndarray:
+    i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    return (i <= j).astype(jnp.bfloat16)  # column j counts lanes <= j
+
+
+def _bd_strict(ts: int, nc: int) -> jnp.ndarray:
+    rb = ts * nc
+    i = jax.lax.broadcasted_iota(jnp.int32, (rb, rb), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (rb, rb), 1)
+    same_block = (i // nc) == (j // nc)
+    return (same_block & (j < i)).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "nsample", "compute_dtype", "interpret"),
+)
+def sa_stage(
+    xyz: jnp.ndarray,        # [B, N, 3] points
+    features: jnp.ndarray,   # [B, N, C] per-point features
+    centroids: jnp.ndarray,  # [B, S, 3]
+    w1: jnp.ndarray, b1: jnp.ndarray,   # [3 + C, C1], [C1]
+    w2: jnp.ndarray, b2: jnp.ndarray,
+    w3: jnp.ndarray, b3: jnp.ndarray,
+    radius: float,
+    nsample: int = 128,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Fused SA stage. Returns (features [B, S, C3] f32, idx [B, S, nsample]).
+
+    Equivalent to ball_query + query_and_group + SharedMLP + max-pool with
+    pointnet2_ops CUDA semantics: the selected SET matches the CUDA
+    first-k-by-index rule exactly (slot order differs, which the
+    order-invariant max-pool cannot see), fills never affect the max, and the
+    count==0 point-0 fallback is reproduced. ``tests/test_pallas_sa.py``
+    asserts output equality against the XLA oracle path.
+    """
+    b, n, _ = xyz.shape
+    s = centroids.shape[1]
+    c = features.shape[-1]
+    p = 3 + c
+    assert nsample == 128, "slot layout assumes ns == 128"
+    # Pad points to a chunk multiple with far-away coordinates (never
+    # in-ball) and centroids to a tile multiple (outputs sliced off).
+    pad_n = (-n) % 128
+    if pad_n:
+        xyz = jnp.pad(xyz, ((0, 0), (0, pad_n), (0, 0)), constant_values=1e6)
+        features = jnp.pad(features, ((0, 0), (0, pad_n), (0, 0)))
+        n += pad_n
+    s_in = s
+    pad_s = (-s) % _TS
+    if pad_s:
+        centroids = jnp.pad(
+            centroids, ((0, 0), (0, pad_s), (0, 0)), constant_values=1e6
+        )
+        s += pad_s
+    nc = n // 128
+    c3 = w3.shape[-1]
+
+    # channel planes [B, P*NC, 128]: plane-major, chunk-minor
+    planes = jnp.concatenate([xyz, features], axis=-1)    # [B, N, P]
+    planes = jnp.swapaxes(planes, 1, 2).reshape(b, p * nc, 128)
+    w1p = w1 if p % 8 == 0 else jnp.pad(w1, ((0, (-p) % 8), (0, 0)))
+    lt = _lt128()
+    bd = _bd_strict(_TS, nc)
+
+    grid = (b, s // _TS)
+    kernel = functools.partial(
+        _sa_kernel,
+        radius=radius,
+        nsample=nsample,
+        num_chunks=nc,
+        num_planes=p,
+        compute_dtype=compute_dtype,
+    )
+    feats, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, p * nc, 128), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(w1p.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b1.shape[-1]), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b2.shape[-1]), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w3.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b3.shape[-1]), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_TS * nc, _TS * nc), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _TS, c3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, _TS, nsample), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s, c3), jnp.float32),
+            jax.ShapeDtypeStruct((b, s, nsample), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        planes,
+        centroids[..., 0][:, None], centroids[..., 1][:, None],
+        centroids[..., 2][:, None],
+        w1p, b1.reshape(1, -1), w2, b2.reshape(1, -1), w3, b3.reshape(1, -1),
+        lt, bd,
+    )
+    return feats[:, :s_in], idx[:, :s_in]

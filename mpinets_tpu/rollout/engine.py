@@ -88,6 +88,7 @@ def make_rollout_fn(
     sizes: PointCloudSizes = PointCloudSizes(),
     stop_on_success: bool = True,
     record_trajectory: bool = True,
+    apply_fn: Callable[..., jnp.ndarray] | None = None,
 ) -> Callable[[Any, Problem, jax.Array], RolloutResult]:
     """Build the jitted lockstep rollout: (params, problem_batch, key) ->
     :class:`RolloutResult`.
@@ -96,7 +97,11 @@ def make_rollout_fn(
     (frozen-when-done); ``False`` reproduces the validation ``rollout``
     (always step, ``model.py:170-182``). ``record_trajectory=False`` drops
     the [B, T+1, 7] trajectory stack for pure-throughput benchmarking.
+    ``apply_fn`` overrides the policy forward (e.g. the Pallas fused path,
+    :func:`mpinets_tpu.model.fused.make_fused_apply`); default
+    ``model.apply``.
     """
+    policy = apply_fn if apply_fn is not None else model.apply
 
     @jax.jit
     def rollout(params, problem: Problem, key: jax.Array) -> RolloutResult:
@@ -105,7 +110,7 @@ def make_rollout_fn(
 
         def step(carry, step_key):
             q_norm, xyz, done, num_steps = carry
-            delta = model.apply(params, xyz, q_norm)
+            delta = policy(params, xyz, q_norm)
             q_norm_next = jnp.clip(q_norm + delta, -1.0, 1.0)  # model.py:171
             if stop_on_success:
                 q_norm_next = jnp.where(done[:, None], q_norm, q_norm_next)

@@ -1,0 +1,100 @@
+"""Pallas kernel parity: FPS, fused SA stage, and the full fused forward
+against the XLA-oracle / flax paths (interpret mode on CPU).
+
+These pin the exactness claims of the performance path: identical FPS
+selections, identical ball-query SETS (slot order differs from the CUDA
+kernel, which the order-invariant max-pool cannot see), and full-forward
+equality with ``model.apply`` from one shared parameter tree.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpinets_tpu.kernels import pointnet, pallas_ops
+from mpinets_tpu.model.policy import MotionPolicyNetwork
+from mpinets_tpu.model.fused import make_fused_apply
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas is compile-heavy
+
+
+def test_fps_with_coords_matches_oracle():
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.normal(key, (5, 384, 3))
+    ref = pointnet.furthest_point_sample(xyz, 64)
+    idx, coords = pallas_ops.furthest_point_sample_with_coords(
+        xyz, 64, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref))
+    np.testing.assert_allclose(
+        np.asarray(coords),
+        np.asarray(pointnet.gather_points(xyz, ref)),
+        atol=1e-7,
+    )
+
+
+@pytest.mark.parametrize("radius", [0.02, 0.3, 0.9])
+def test_sa_stage_matches_oracle(radius):
+    key = jax.random.PRNGKey(1)
+    B, N, S, NS, C1 = 2, 384, 16, 128, 32
+    xyz = jax.random.uniform(key, (B, N, 3), minval=-0.6, maxval=0.6)
+    feat = jax.random.uniform(jax.random.fold_in(key, 1), (B, N, 2))
+    cent = xyz[:, :S]
+    mk = lambda i, s: jax.random.normal(jax.random.fold_in(key, i), s) * 0.2
+    w1, b1 = mk(2, (5, C1)), mk(3, (C1,))
+    w2, b2 = mk(4, (C1, 32)), mk(5, (32,))
+    w3, b3 = mk(6, (32, 48)), mk(7, (48,))
+
+    idx0 = pointnet.ball_query(cent, xyz, radius, NS)
+    g = jnp.concatenate(
+        [
+            pointnet.gather_points(xyz, idx0) - cent[:, :, None, :],
+            pointnet.gather_points(feat, idx0),
+        ],
+        -1,
+    )
+    h = jnp.maximum(jnp.einsum("bsnc,cd->bsnd", g, w1) + b1, 0)
+    h = jnp.maximum(jnp.einsum("bsnc,cd->bsnd", h, w2) + b2, 0)
+    h = jnp.maximum(jnp.einsum("bsnc,cd->bsnd", h, w3) + b3, 0)
+    ref = jnp.max(h, axis=2)
+
+    feats, idx = pallas_ops.sa_stage(
+        xyz, feat, cent, w1, b1, w2, b2, w3, b3,
+        radius=radius, nsample=NS,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    for b in range(B):
+        for s in range(S):
+            assert set(np.asarray(idx0[b, s]).tolist()) == set(
+                np.asarray(idx[b, s]).tolist()
+            ), (radius, b, s)
+    np.testing.assert_allclose(
+        np.asarray(feats), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_fused_forward_matches_flax():
+    """Full fused forward (reduced centroid counts, full radii/nsample) must
+    equal model.apply from the same parameter tree in fp32."""
+    npoints = (16, 8)
+    model = MotionPolicyNetwork(sa_npoints=npoints)
+    key = jax.random.PRNGKey(3)
+    pc = jnp.concatenate(
+        [
+            jax.random.uniform(key, (2, 256, 3), minval=-0.7, maxval=0.7),
+            jax.random.randint(key, (2, 256, 1), 0, 3).astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+    q = jax.random.uniform(
+        jax.random.fold_in(key, 1), (2, 7), minval=-1, maxval=1
+    )
+    variables = model.init(jax.random.fold_in(key, 2), pc, q)
+    ref = model.apply(variables, pc, q)
+    fused = make_fused_apply(
+        compute_dtype=jnp.float32, interpret=True, sa_npoints=npoints
+    )(variables, pc, q)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )
