@@ -1,16 +1,17 @@
 """Headline benchmark: closed-loop policy env-steps/s per chip.
 
-Runs the lockstep rollout engine (policy forward + on-device robot-PC
-resampling + FK success predicate per step, mpinets_tpu.rollout.engine) on
-a batch of synthetic problems at full reference input shapes (6272-point
-clouds, reference PointNet++ architecture) and reports steady-state
-env-steps/s on one chip.
+Runs the lockstep rollout engine (fused-Pallas policy forward + on-device
+robot-PC resampling + FK success predicate per step,
+mpinets_tpu.rollout.engine + mpinets_tpu.model.fused) on a batch of
+synthetic problems at full reference input shapes (6272-point clouds,
+reference PointNet++ architecture) and reports steady-state env-steps/s on
+one chip.
 
 Timing is honest under remote-dispatch JAX backends where
 ``block_until_ready`` can return before device execution finishes: every
 measurement forces a device->host transfer of the result, and the reported
 rate is the *difference* between a long and a short rollout so that compile,
-dispatch, transfer-latency, and point-cloud-assembly overheads cancel out —
+dispatch, transfer-latency, and point-cloud-assembly overheads cancel out --
 only the steady-state per-step cost remains.
 
 Prints ONE JSON line:
@@ -19,12 +20,16 @@ Prints ONE JSON line:
 
 ``vs_baseline`` is value / 12_500 -- the per-chip share of the BASELINE.json
 target (>=100k env-steps/s per v5e host = 8 chips).
+
+``--sweep`` measures several batch sizes (curve to stderr) and reports the
+best; the default single batch keeps the driver run bounded.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import jax
@@ -42,45 +47,66 @@ def _run_sync(rollout, params, problem, key) -> float:
     return time.perf_counter() - t0
 
 
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=64)
-    parser.add_argument("--steps-short", type=int, default=10)
-    parser.add_argument("--steps-long", type=int, default=60)
-    parser.add_argument("--repeats", type=int, default=3)
-    args = parser.parse_args()
-
+def measure_batch(model, params, apply_fn, batch, steps_short, steps_long,
+                  repeats, rng) -> float:
     from mpinets_tpu.data.synthetic import random_problem_batch
-    from mpinets_tpu.model.policy import MotionPolicyNetwork
     from mpinets_tpu.rollout.engine import make_rollout_fn
 
-    model = MotionPolicyNetwork(compute_dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
-    problem = random_problem_batch(jax.random.fold_in(rng, 1), args.batch)
-    params = model.init(rng, jnp.zeros((1, 6272, 4)), jnp.zeros((1, 7)))
-
+    problem = random_problem_batch(jax.random.fold_in(rng, batch), batch)
     rollouts = {
         n: make_rollout_fn(
             model,
             max_steps=n,
             stop_on_success=False,  # fixed-length: every env steps every time
             record_trajectory=False,
+            apply_fn=apply_fn,
         )
-        for n in (args.steps_short, args.steps_long)
+        for n in (steps_short, steps_long)
     }
-
-    # Warmup / compile both lengths.
     for rollout in rollouts.values():
         _run_sync(rollout, params, problem, jax.random.fold_in(rng, 2))
 
     best = 0.0
-    extra_steps = args.steps_long - args.steps_short
-    for r in range(args.repeats):
+    extra = steps_long - steps_short
+    for r in range(repeats):
         key = jax.random.fold_in(rng, 100 + r)
-        t_short = _run_sync(rollouts[args.steps_short], params, problem, key)
-        t_long = _run_sync(rollouts[args.steps_long], params, problem, key)
+        t_short = _run_sync(rollouts[steps_short], params, problem, key)
+        t_long = _run_sync(rollouts[steps_long], params, problem, key)
         if t_long > t_short:
-            best = max(best, args.batch * extra_steps / (t_long - t_short))
+            best = max(best, batch * extra / (t_long - t_short))
+    return best
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--sweep", action="store_true",
+                        help="sweep batch sizes and report the best")
+    parser.add_argument("--steps-short", type=int, default=5)
+    parser.add_argument("--steps-long", type=int, default=30)
+    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--no-fused", action="store_true",
+                        help="use the plain-XLA model.apply path")
+    args = parser.parse_args()
+
+    from mpinets_tpu.model.fused import make_fused_apply
+    from mpinets_tpu.model.policy import MotionPolicyNetwork
+
+    model = MotionPolicyNetwork(compute_dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, 6272, 4)), jnp.zeros((1, 7)))
+    apply_fn = None if args.no_fused else make_fused_apply(jnp.bfloat16)
+
+    batches = (64, 256, 512) if args.sweep else (args.batch,)
+    best = 0.0
+    for b in batches:
+        rate = measure_batch(
+            model, params, apply_fn, b,
+            args.steps_short, args.steps_long, args.repeats, rng,
+        )
+        print(f"# batch {b}: {rate:,.1f} env-steps/s", file=sys.stderr,
+              flush=True)
+        best = max(best, rate)
 
     print(
         json.dumps(

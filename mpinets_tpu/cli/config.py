@@ -60,6 +60,12 @@ class RolloutConfig:
     val_rollout_length: int = 69  # model.py:272
     eval_rollout_length: int = 150  # run_inference.py:55
     control_dt: float = 0.08  # 12 Hz, run_inference.py:297
+    #: actor-learner mode: every ``actor_interval`` learner steps, roll the
+    #: current policy out on-device and feed a DAgger-relabeled batch back
+    #: into the learner (0 = offline BC only). Synthetic-expert mode only.
+    actor_interval: int = 0
+    #: closed-loop steps per actor rollout
+    actor_rollout_steps: int = 20
 
 
 @dataclasses.dataclass
@@ -80,6 +86,9 @@ class TrainJobConfig:
     #: Validation problems per pass (the reference validates on the whole
     #: val file; cap for wall-clock control).
     max_val_problems: int = 128
+    #: checkpoint directory to resume from ("" = fresh start); restores the
+    #: `last` checkpoint and continues the step counter
+    resume_from: str = ""
 
 
 #: reference jobconfig.yaml key -> (section, field) mapping so the

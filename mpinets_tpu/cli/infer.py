@@ -15,10 +15,13 @@ host syncs (``run_inference.py:137-191``), whole problem groups run as
 batched lockstep rollouts on device; per-problem planning time is reported
 as the batch wall-clock share weighted by each problem's step count.
 
-The reference's ``--use-depth`` mode (PyBullet depth-camera re-rendering of
-primitive scenes, ``run_inference.py:194-257``) and Meshcat/PyBullet
-visualization are host-GPU-sim features that are out of scope on TPU; see
-README for the supported surface.
+``--use-depth`` reproduces the reference's depth mode
+(``run_inference.py:194-257``) TPU-natively: each primitive scene is
+sphere-trace-rendered to a depth cloud on device
+(:mod:`mpinets_tpu.geom.depth`) and the POLICY consumes the sensed points
+while the metrics keep the true primitives (exactly the reference's
+in-place ``p.obstacle_point_cloud`` mutation). Meshcat/PyBullet
+visualization remains out of scope (host-GL features).
 """
 
 from __future__ import annotations
@@ -68,6 +71,7 @@ def evaluate_problem_set(
     max_problems: int | None = None,
     max_steps: int = MAX_ROLLOUT_LENGTH,
     model: MotionPolicyNetwork | None = None,
+    use_depth: bool = False,
 ) -> Evaluator:
     model = model or MotionPolicyNetwork(compute_dtype=jnp.bfloat16)
     rollout = make_rollout_fn(model, max_steps=max_steps)
@@ -92,6 +96,17 @@ def evaluate_problem_set(
                 chunk = problems[lo : lo + batch_size]
                 batch = problems_mod.problems_to_batch(chunk)
                 problem = batch["problem"]
+                if use_depth and problem.obstacle_points is None:
+                    from mpinets_tpu.geom.depth import scene_to_point_cloud
+
+                    keys = jax.random.split(
+                        jax.random.fold_in(rng, 7000 + lo), problem.q0.shape[0]
+                    )
+                    pts = jax.vmap(
+                        lambda s, k: scene_to_point_cloud(s, k, 4096)
+                    )(problem.scene, keys)
+                    # policy sees the sensed cloud; metrics keep primitives
+                    problem = problem._replace(obstacle_points=pts)
                 t0 = time.perf_counter()
                 result = jax.block_until_ready(
                     rollout(params, problem, jax.random.fold_in(rng, lo))
@@ -125,6 +140,8 @@ def main(argv=None) -> None:
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--fp32", action="store_true",
                         help="evaluate in fp32 instead of bf16")
+    parser.add_argument("--use-depth", action="store_true",
+                        help="policy consumes depth-rendered obstacle clouds")
     args = parser.parse_args(argv)
 
     model = MotionPolicyNetwork(
@@ -135,6 +152,7 @@ def main(argv=None) -> None:
     evaluator = evaluate_problem_set(
         params, problem_set, args.scene_type, args.problem_type,
         batch_size=args.batch_size, max_problems=args.max_problems, model=model,
+        use_depth=args.use_depth,
     )
     print("\n== overall ==")
     evaluator.print_overall_metrics()

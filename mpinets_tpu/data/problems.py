@@ -251,11 +251,34 @@ def problems_to_batch(
     negative_volumes = _volume_scene(
         [p.target_negative_volumes for p in problems]
     )
+    # Raw-point-cloud problems (the reference's depth mode,
+    # run_inference.py:58-134): pack the sensed clouds to one fixed size by
+    # resampling with replacement; all problems in a batch must agree on
+    # whether they carry a cloud (the reference converts whole sets at once).
+    has_pc = [p.obstacle_point_cloud is not None for p in problems]
+    obstacle_points = None
+    if any(has_pc):
+        assert all(has_pc), (
+            "mixed primitive/point-cloud problems in one batch; "
+            "filter the problem set by mode first"
+        )
+        rng = np.random.default_rng(0)
+        width = max(int(np.asarray(p.obstacle_point_cloud).shape[0])
+                    for p in problems)
+        packed = np.zeros((len(problems), width, 3), np.float32)
+        for i, p in enumerate(problems):
+            pc = np.asarray(p.obstacle_point_cloud, np.float32)[:, :3]
+            if pc.shape[0] < width:
+                extra = rng.integers(0, pc.shape[0], width - pc.shape[0])
+                pc = np.concatenate([pc, pc[extra]], axis=0)
+            packed[i] = pc
+        obstacle_points = jnp.asarray(packed)
     problem = Problem(
         q0=jnp.asarray(q0),
         target_rot=jnp.asarray(target_rot, jnp.float32),
         target_trans=jnp.asarray(target_trans, jnp.float32),
         scene=scene,
+        obstacle_points=obstacle_points,
     )
     return {
         "problem": problem,

@@ -41,12 +41,19 @@ SEQUENCE_LENGTH = 50  # gen_data.py:77
 
 class Problem(NamedTuple):
     """A batch of planning problems in device-friendly layout (the
-    ``PlanningProblem`` equivalent, reference ``mpinets_types.py:34-45``)."""
+    ``PlanningProblem`` equivalent, reference ``mpinets_types.py:34-45``).
+
+    ``obstacle_points`` carries raw sensed obstacle clouds for problems
+    given without primitive scenes (the reference's depth /
+    ``obstacle_point_cloud`` mode, ``run_inference.py:58-134``); when set,
+    the rollout uses it directly instead of sampling ``scene``.
+    """
 
     q0: jnp.ndarray            # [..., 7]
     target_rot: jnp.ndarray    # [..., 3, 3] right_gripper frame
     target_trans: jnp.ndarray  # [..., 3]
     scene: SceneSet            # batched to [...]
+    obstacle_points: jnp.ndarray | None = None  # [..., No, 3] or None
 
 
 def random_configuration(key: jax.Array, shape=()) -> jnp.ndarray:

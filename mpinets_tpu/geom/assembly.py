@@ -68,6 +68,37 @@ def assemble_point_cloud(
     return jnp.concatenate([xyz, labels[:, None]], axis=-1)
 
 
+def assemble_point_cloud_with_obstacles(
+    key: jax.Array,
+    q0: jnp.ndarray,
+    target_rot: jnp.ndarray,
+    target_trans: jnp.ndarray,
+    obstacle_xyz: jnp.ndarray,
+    sizes: PointCloudSizes = PointCloudSizes(),
+) -> jnp.ndarray:
+    """Build the [N, 4] input cloud from a RAW obstacle cloud (the
+    reference's depth / ``obstacle_point_cloud`` problem mode,
+    ``run_inference.py:58-134``): the obstacle segment is resampled to
+    ``sizes.obstacle`` points with replacement instead of sampled from
+    primitives.
+
+    obstacle_xyz: [No, 3] sensed obstacle points (No may differ from
+    sizes.obstacle).
+    """
+    k_robot, k_obs = jax.random.split(key)
+    robot = sampler.sample_robot_points(q0, k_robot, sizes.robot)
+    no = obstacle_xyz.shape[0]
+    if no == sizes.obstacle:
+        obstacles = obstacle_xyz
+    else:
+        pick = jax.random.randint(k_obs, (sizes.obstacle,), 0, no)
+        obstacles = jnp.take(obstacle_xyz, pick, axis=0)
+    target = sampler.sample_end_effector(target_rot, target_trans, sizes.target)
+    xyz = jnp.concatenate([robot, obstacles, target], axis=0)
+    labels = segmentation_labels(sizes, xyz.dtype)
+    return jnp.concatenate([xyz, labels[:, None]], axis=-1)
+
+
 def update_robot_points(
     xyz: jnp.ndarray, robot_points: jnp.ndarray
 ) -> jnp.ndarray:

@@ -142,9 +142,49 @@ def save_checkpoint(directory, step: int, state) -> None:
         ckptr.save(path, state)
 
 
+def save_named_checkpoint(directory, name: str, step: int, state) -> None:
+    """Overwrite ``directory/name`` (e.g. ``last``/``best``) with the state,
+    recording ``step`` alongside -- the Lightning ``save_last`` / monitored
+    best-checkpoint semantics (``run_training.py:85-104``)."""
+    import shutil
+
+    import orbax.checkpoint as ocp
+
+    base = Path(directory).absolute()
+    path = base / name
+    tmp = base / f".{name}.tmp"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(tmp, state)
+    if path.exists():
+        shutil.rmtree(path)
+    tmp.rename(path)
+    (base / f"{name}.step").write_text(str(step))
+
+
+def named_checkpoint_step(directory, name: str) -> int | None:
+    marker = Path(directory).absolute() / f"{name}.step"
+    return int(marker.read_text()) if marker.exists() else None
+
+
 def latest_checkpoint(directory) -> Path | None:
-    steps = sorted(Path(directory).absolute().glob("step_*"))
+    """Newest resumable checkpoint: prefers ``last`` (with its recorded
+    step) over the highest ``step_*`` directory."""
+    base = Path(directory).absolute()
+    if (base / "last").exists():
+        return base / "last"
+    steps = sorted(base.glob("step_*"))
     return steps[-1] if steps else None
+
+
+def checkpoint_step(path) -> int:
+    """Training step a checkpoint directory corresponds to."""
+    path = Path(path)
+    if path.name.startswith("step_"):
+        return int(path.name[len("step_"):])
+    marker = path.parent / f"{path.name}.step"
+    return int(marker.read_text()) if marker.exists() else 0
 
 
 def restore_checkpoint(path, example_state):

@@ -195,3 +195,122 @@ def plan_pairs_batch(
     return jax.vmap(plan_pair, in_axes=(0, 0, 0, 0, None))(
         q_starts, q_goals, target_rots, target_transs, scene
     )
+
+
+# ---------------------------------------------------------------------------
+# Scene-aware trajectory optimization (the batched planner)
+# ---------------------------------------------------------------------------
+# The smooth candidate family above cannot route around clutter. This is a
+# CHOMP-style trajectory optimizer playing the role of the reference's
+# AIT* + fabric pipeline (gen_data.py:106-307) in a TPU-native form: the
+# whole path is a decision variable, the collision cost is the 57-sphere
+# model against the scene SDF, and jax.grad differentiates through batched
+# FK -- so THOUSANDS of (start, goal) pairs optimize in lockstep under vmap.
+
+#: collision clearance margin for the optimizer's hinge cost (m)
+OPT_MARGIN = 0.02
+OPT_STEPS = 120
+OPT_PATH_LEN = 50
+
+
+def _path_cost(
+    interior: jnp.ndarray,   # [T-2, 7] free waypoints
+    q_start: jnp.ndarray,
+    q_goal: jnp.ndarray,
+    scene,
+    collision_weight: float = 40.0,
+    smooth_weight: float = 4.0,
+) -> jnp.ndarray:
+    traj = jnp.concatenate(
+        [q_start[None], interior, q_goal[None]], axis=0
+    )  # [T, 7]
+    # smoothness: squared second differences (CHOMP's prior)
+    acc = traj[2:] - 2.0 * traj[1:-1] + traj[:-2]
+    smooth = jnp.sum(acc * acc)
+    # collision: hinge on sphere clearance along the whole path
+    centers = kinematics.collision_spheres(traj)            # [T, 57, 3]
+    radii = jnp.asarray(franka.SPHERE_RADII, traj.dtype)
+    d = sdf.scene_sdf(centers.reshape(-1, 3)[None], scene)[0]
+    pen = jnp.maximum(radii[None, :] + OPT_MARGIN
+                      - d.reshape(traj.shape[0], -1), 0.0)
+    collision = jnp.sum(pen * pen)
+    # joint-limit barrier
+    lim = jnp.asarray(franka.REAL_JOINT_LIMITS, traj.dtype)
+    over = jnp.maximum(traj - lim[:, 1], 0.0) + jnp.maximum(lim[:, 0] - traj, 0.0)
+    limits = jnp.sum(over * over)
+    return (
+        smooth_weight * smooth
+        + collision_weight * collision
+        + 100.0 * limits
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def optimize_trajectory(
+    q_start: jnp.ndarray,
+    q_goal: jnp.ndarray,
+    scene,
+    init: jnp.ndarray | None = None,
+    steps: int = OPT_STEPS,
+    lr: float = 0.02,
+) -> jnp.ndarray:
+    """Gradient trajectory optimization from start to goal (single problem;
+    vmap for batches). Returns a [OPT_PATH_LEN, 7] limit-clamped path."""
+    if init is None:
+        init = min_jerk_interp(q_start, q_goal, OPT_PATH_LEN)
+    interior0 = init[1:-1]
+    grad_fn = jax.grad(_path_cost)
+    lim = jnp.asarray(franka.REAL_JOINT_LIMITS, q_start.dtype)
+
+    def body(carry, _):
+        interior, m = carry
+        g = grad_fn(interior, q_start, q_goal, scene)
+        m = 0.9 * m + g                       # heavy-ball momentum
+        interior = interior - lr * m
+        interior = jnp.clip(interior, lim[:, 0], lim[:, 1])
+        return (interior, m), None
+
+    (interior, _), _ = jax.lax.scan(
+        body, (interior0, jnp.zeros_like(interior0)), None, length=steps
+    )
+    return jnp.concatenate([q_start[None], interior, q_goal[None]], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def plan_pair_optimized(
+    q_start: jnp.ndarray,
+    q_goal: jnp.ndarray,
+    target_rot: jnp.ndarray,
+    target_trans: jnp.ndarray,
+    scene,
+) -> PlanResult:
+    """Full planning attempt: smooth family first, then the SDF-cost
+    optimizer seeded from the best family member when none verifies.
+    vmap over pairs for batched generation."""
+    family = plan_pair(q_start, q_goal, target_rot, target_trans, scene)
+
+    opt = optimize_trajectory(q_start, q_goal, scene)
+    dense = min_jerk_interp(
+        jnp.zeros_like(q_start), jnp.ones_like(q_start), DENSE_STEPS
+    )  # time profile 0..1 reused for upsampling the optimized path
+    # piecewise-linear upsample of the optimized path for dense verification
+    t = jnp.linspace(0.0, OPT_PATH_LEN - 1.0, DENSE_STEPS)
+    lo = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, OPT_PATH_LEN - 2)
+    frac = (t - lo)[:, None]
+    dense_opt = opt[lo] * (1.0 - frac) + opt[lo + 1] * frac
+    del dense
+    res = verify_trajectory(dense_opt, target_rot, target_trans, scene)
+    ok_opt = (
+        (res.miss <= MISS_TOLERANCE)
+        & ~res.has_self_collision
+        & ~res.has_env_collision
+        & res.within_limits
+    )
+    traj_opt = constant_velocity_retime(dense_opt)
+    final_opt = verify_trajectory(traj_opt, target_rot, target_trans, scene)
+
+    use_family = family.valid
+    traj = jnp.where(use_family, family.trajectory, traj_opt)
+    valid = family.valid | (ok_opt & final_opt.valid)
+    which = jnp.where(use_family, family.which, 99)
+    return PlanResult(traj, valid, which.astype(jnp.int32))

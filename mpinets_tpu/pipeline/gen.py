@@ -1,0 +1,242 @@
+"""Expert data-generation driver: exhaust procedural environments into
+reference-schema datasets.
+
+The TPU-native analogue of ``gen_data.py``'s scene fan-out
+(``/root/reference/mpinets/data_pipeline/gen_data.py:531-795``): instead of
+a multiprocessing pool of CPU planners, every scene's candidate pairs are
+planned as ONE vmapped batch (smooth family + SDF-cost trajectory
+optimization, :mod:`mpinets_tpu.pipeline.expert`), verified on device, and
+written in the exact on-disk schema (``gen_data.py:675-762``). Both
+directions of each pair are attempted (``forward_backward``,
+``gen_data.py:433-528``), and inference problems get the reference's
+hindsight goal revision — the stored target is the FK pose of the planned
+trajectory's FINAL configuration (``gen_data.py:832-836,888-893``), which
+makes every stored problem solvable by construction.
+
+CLI::
+
+    python -m mpinets_tpu.pipeline.gen {tabletop|cubby|merged-cubby|dresser}
+        --output DIR [--num-scenes N] [--candidates-per-scene K] [--neutral]
+        [--for-inference PKL] [--seed S]
+
+Prints per-scene and overall valid-plan rates (the pipeline health metric
+the reference tracks via its error-code tallies, ``gen_data.py:419-430``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+from pathlib import Path
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpinets_tpu import types as T
+from mpinets_tpu.data import writer
+from mpinets_tpu.data.process import merge_files
+from mpinets_tpu.envs.base import Environment
+from mpinets_tpu.envs.cubby import CubbyEnvironment, MergedCubbyEnvironment
+from mpinets_tpu.envs.dresser import DresserEnvironment
+from mpinets_tpu.envs.tabletop import TabletopEnvironment
+from mpinets_tpu.kernels import kinematics
+from mpinets_tpu.pipeline import expert
+
+ENVS = {
+    "tabletop": TabletopEnvironment,
+    "cubby": CubbyEnvironment,
+    "merged-cubby": MergedCubbyEnvironment,
+    "dresser": DresserEnvironment,
+}
+
+
+def _candidate_pairs(cands_a, cands_b):
+    """All ordered cross pairs (both directions, forward_backward style)."""
+    pairs = []
+    for a in cands_a:
+        for b in cands_b:
+            if a is b:
+                continue
+            pairs.append((a, b))
+            pairs.append((b, a))
+    return pairs
+
+
+def plan_scene(
+    env: Environment,
+    rng: np.random.Generator,
+    candidates_per_scene: int,
+    include_neutral: bool,
+):
+    """Plan all candidate pairs of one generated scene in one device batch.
+
+    Returns (trajectories [V, 50, 7], scene arrays dict, stats dict).
+    """
+    extra = env.gen_candidates(rng, candidates_per_scene)
+    cands = list(env.demo_candidates) + extra
+    if include_neutral:
+        cands += env.gen_neutral_candidates(
+            max(2, candidates_per_scene // 2), rng
+        )
+    pairs = _candidate_pairs(cands, cands)
+    if not pairs:
+        return np.zeros((0, expert.SEQUENCE_LENGTH, 7)), {}, {"pairs": 0, "valid": 0}
+
+    q_starts = np.stack([a.config for a, _ in pairs]).astype(np.float32)
+    q_goals = np.stack([b.config for _, b in pairs]).astype(np.float32)
+    rots = np.stack([b.pose.matrix[:3, :3] for _, b in pairs]).astype(np.float32)
+    trans = np.stack([b.pose.position for _, b in pairs]).astype(np.float32)
+    scene = jax.tree_util.tree_map(lambda x: x[0], env.scene_set())
+
+    plan = jax.vmap(
+        expert.plan_pair_optimized, in_axes=(0, 0, 0, 0, None)
+    )
+    res = plan(
+        jnp.asarray(q_starts), jnp.asarray(q_goals),
+        jnp.asarray(rots), jnp.asarray(trans), scene,
+    )
+    valid = np.asarray(res.valid)
+    trajs = np.asarray(res.trajectory)[valid]
+    return trajs, _scene_arrays(env, len(trajs)), {
+        "pairs": len(pairs),
+        "valid": int(valid.sum()),
+    }
+
+
+def _scene_arrays(env: Environment, n: int) -> dict:
+    """Replicate the scene's primitive arrays for each of n trajectories."""
+    cubs = env.cuboids
+    cyls = env.cylinders
+    mc = max(len(cubs), 1)
+    my = max(len(cyls), 1)
+    out = {
+        "cuboid_dims": np.zeros((n, mc, 3)),
+        "cuboid_centers": np.zeros((n, mc, 3)),
+        "cuboid_quats": np.zeros((n, mc, 4)),
+        "cylinder_radii": np.zeros((n, my, 1)),
+        "cylinder_heights": np.zeros((n, my, 1)),
+        "cylinder_centers": np.zeros((n, my, 3)),
+        "cylinder_quats": np.zeros((n, my, 4)),
+    }
+    for i, c in enumerate(cubs):
+        out["cuboid_dims"][:, i] = c.dims
+        out["cuboid_centers"][:, i] = c.center
+        out["cuboid_quats"][:, i] = c.quaternion
+    for i, c in enumerate(cyls):
+        out["cylinder_radii"][:, i, 0] = c.radius
+        out["cylinder_heights"][:, i, 0] = c.height
+        out["cylinder_centers"][:, i] = c.center
+        out["cylinder_quats"][:, i] = c.quaternion
+    return out
+
+
+def hindsight_problems(trajs: np.ndarray, env: Environment) -> List[T.PlanningProblem]:
+    """Inference problems with hindsight goal revision: target := FK pose of
+    each trajectory's final configuration (``gen_data.py:832-836``)."""
+    if len(trajs) == 0:
+        return []
+    rot, trans = jax.jit(kinematics.eff_pose)(jnp.asarray(trajs[:, -1]))
+    rot, trans = np.asarray(rot, np.float64), np.asarray(trans, np.float64)
+    problems = []
+    for i in range(len(trajs)):
+        quat = T.matrix_to_quat_np(rot[i])
+        problems.append(
+            T.PlanningProblem(
+                target=T.Pose(trans[i], quat),
+                target_volume=T.Cuboid(
+                    trans[i], (0.1, 0.1, 0.1), (1.0, 0.0, 0.0, 0.0)
+                ),
+                q0=np.asarray(trajs[i, 0], np.float64),
+                obstacles=list(env.obstacles),
+            )
+        )
+    return problems
+
+
+def gen(
+    scene_type: str,
+    output_dir,
+    num_scenes: int = 10,
+    candidates_per_scene: int = 4,
+    include_neutral: bool = False,
+    seed: int = 0,
+    inference_pkl=None,
+) -> dict:
+    """Generate ``num_scenes`` scenes worth of verified expert data into
+    ``output_dir/all_data.hdf5``; optionally dump hindsight inference
+    problems. Returns overall stats."""
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    scene_files = []
+    problems: List[T.PlanningProblem] = []
+    total = {"scenes": 0, "pairs": 0, "valid": 0}
+
+    for s in range(num_scenes):
+        env = ENVS[scene_type]()
+        if not env.gen(rng):
+            continue
+        trajs, scene_arrays, stats = plan_scene(
+            env, rng, candidates_per_scene, include_neutral
+        )
+        total["scenes"] += 1
+        total["pairs"] += stats["pairs"]
+        total["valid"] += stats["valid"]
+        print(
+            f"scene {s}: {stats['valid']}/{stats['pairs']} plans valid",
+            flush=True,
+        )
+        if len(trajs) == 0:
+            continue
+        arrays = {
+            "global_solutions": trajs,
+            "hybrid_solutions": trajs,
+            **scene_arrays,
+        }
+        path = out / f"scene_{s:05d}.hdf5"
+        writer.write_dataset(path, arrays)
+        scene_files.append(path)
+        if inference_pkl is not None:
+            problems.extend(hindsight_problems(trajs, env))
+
+    if scene_files:
+        merge_files(scene_files, out / "all_data.hdf5")
+        for f in scene_files:
+            f.unlink()
+    if inference_pkl is not None:
+        pset = {scene_type: {"task-oriented": problems}}
+        with open(inference_pkl, "wb") as f:
+            pickle.dump(pset, f)
+    rate = total["valid"] / max(total["pairs"], 1)
+    print(
+        f"TOTAL: {total['scenes']}/{num_scenes} scenes, "
+        f"{total['valid']}/{total['pairs']} plans valid ({100*rate:.1f}%)",
+        flush=True,
+    )
+    return total
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("scene_type", choices=sorted(ENVS))
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--num-scenes", type=int, default=10)
+    ap.add_argument("--candidates-per-scene", type=int, default=4)
+    ap.add_argument("--neutral", action="store_true")
+    ap.add_argument("--for-inference", default=None, metavar="PKL")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    gen(
+        args.scene_type, args.output,
+        num_scenes=args.num_scenes,
+        candidates_per_scene=args.candidates_per_scene,
+        include_neutral=args.neutral,
+        seed=args.seed,
+        inference_pkl=args.for_inference,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from mpinets_tpu.geom.assembly import (
     PointCloudSizes,
     assemble_point_cloud,
+    assemble_point_cloud_with_obstacles,
     update_robot_points,
 )
 from mpinets_tpu.data.synthetic import Problem
@@ -130,15 +131,30 @@ def make_rollout_fn(
             out = q_next if record_trajectory else None
             return (q_norm_next, xyz, done, num_steps), out
 
-        xyz0 = jax.vmap(
-            lambda k, q, r, t, s: assemble_point_cloud(k, q, r, t, s, sizes)
-        )(
-            jax.random.split(k_init, b),
-            problem.q0,
-            problem.target_rot,
-            problem.target_trans,
-            problem.scene,
-        )
+        if problem.obstacle_points is not None:
+            # Raw sensed obstacle cloud (depth / obstacle_point_cloud mode,
+            # run_inference.py:58-134): no primitive scene sampling.
+            xyz0 = jax.vmap(
+                lambda k, q, r, t, o: assemble_point_cloud_with_obstacles(
+                    k, q, r, t, o, sizes
+                )
+            )(
+                jax.random.split(k_init, b),
+                problem.q0,
+                problem.target_rot,
+                problem.target_trans,
+                problem.obstacle_points,
+            )
+        else:
+            xyz0 = jax.vmap(
+                lambda k, q, r, t, s: assemble_point_cloud(k, q, r, t, s, sizes)
+            )(
+                jax.random.split(k_init, b),
+                problem.q0,
+                problem.target_rot,
+                problem.target_trans,
+                problem.scene,
+            )
         q_norm0 = normalize_franka_joints(problem.q0)
         done0 = (
             success_predicate(problem.q0, problem.target_rot, problem.target_trans)

@@ -72,10 +72,18 @@ class Trainer:
     should_checkpoint: bool = True
 
     def __post_init__(self):
+        # Multi-host rendezvous first (no-op without a coordinator env;
+        # parallel/mesh.py wraps jax.distributed) so jax.devices() is global.
+        from mpinets_tpu.parallel.mesh import multihost_init
+
+        multihost_init()
         self.devices = jax.devices()
         self.mesh = Mesh(np.array(self.devices), ("data",))
         self.n_devices = len(self.devices)
+        self.n_hosts = jax.process_count()
         self.global_batch = self.cfg.optim.batch_size * self.n_devices
+        #: rows of the global batch this host produces (contiguous block)
+        self.host_batch = self.global_batch // self.n_hosts
         self.sizes = PointCloudSizes(
             robot=self.cfg.data.num_robot_points,
             obstacle=self.cfg.data.num_obstacle_points,
@@ -98,13 +106,30 @@ class Trainer:
         )
         self._data_sharding = NamedSharding(self.mesh, P("data"))
 
+    def _to_global(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Host-local rows -> globally sharded arrays on the data axis."""
+        if self.n_hosts == 1:
+            return {
+                k: jax.device_put(np.asarray(v), self._data_sharding)
+                for k, v in batch.items()
+            }
+        return {
+            k: jax.make_array_from_process_local_data(
+                self._data_sharding, np.asarray(v)
+            )
+            for k, v in batch.items()
+        }
+
     # -- data ---------------------------------------------------------------
 
     def _synthetic_batches(self, key) -> Iterator[Dict[str, jnp.ndarray]]:
+        # Each host folds its process index in and builds only its slice of
+        # the global batch (the DDP-rank data split, run_training.py:71-77).
+        key = jax.random.fold_in(key, jax.process_index())
         step = 0
         while True:
             yield synthetic.training_batch(
-                jax.random.fold_in(key, step), self.global_batch,
+                jax.random.fold_in(key, step), self.host_batch,
                 sizes=self.sizes, random_scale=self.cfg.data.random_scale,
             )
             step += 1
@@ -121,7 +146,8 @@ class Trainer:
             hdf5_data.DatasetType.TRAIN,
         )
         loader = hdf5_data.InstanceLoader(
-            dataset, self.global_batch, seed=self.cfg.seed
+            dataset, self.host_batch,
+            seed=self.cfg.seed + 7919 * jax.process_index(),
         )
 
         def prepare_fn(raw, key):
@@ -172,6 +198,19 @@ class Trainer:
             init_batch = example
         state = learner.init_state(self.model, rng, init_batch, self.optimizer)
 
+        start_step = 0
+        if self.cfg.resume_from:
+            resume_dir = ckpt.latest_checkpoint(self.cfg.resume_from)
+            assert resume_dir is not None, (
+                f"no checkpoint under {self.cfg.resume_from}"
+            )
+            state = ckpt.restore_checkpoint(resume_dir, state)
+            # orbax restores onto a single device; re-replicate over the mesh
+            # so the DP step sees consistent shardings.
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+            start_step = ckpt.checkpoint_step(resume_dir)
+            print(f"resumed from {resume_dir} at step {start_step}", flush=True)
+
         step_fn = learner.make_data_parallel_step(
             self.model, self.mesh, self.optimizer,
             point_match_weight=cfg.loss.point_match_loss_weight,
@@ -198,15 +237,29 @@ class Trainer:
             flush=True,
         )
 
+        # Actor-learner mode (BASELINE configs 4-5): rollout workers feed a
+        # DAgger-relabeled batch into the same DP learner step.
+        actor_interval = cfg.rollout.actor_interval
+        collect_fn = None
+        if actor_interval and cfg.data.synthetic:
+            from mpinets_tpu.train.actor import make_dagger_collector
+
+            collect_fn = make_dagger_collector(
+                self.model, cfg.rollout.actor_rollout_steps, self.sizes
+            )
+            actor_step = learner.make_data_parallel_step(
+                self.model, self.mesh, self.optimizer,
+                point_match_weight=cfg.loss.point_match_loss_weight,
+                collision_weight=cfg.loss.collision_loss_weight,
+            )
+
         last_ckpt_time = time.time()
-        step = 0
+        best_monitor = float("inf")
+        step = start_step
         for epoch in range(max_epochs):
             for _ in range(limit_batches):
-                batch = example if step == 0 else next(stream)
-                batch = {
-                    k: jax.device_put(np.asarray(v), self._data_sharding)
-                    for k, v in batch.items()
-                }
+                batch = example if step == start_step else next(stream)
+                batch = self._to_global(batch)
                 if prepare_fn is not None:
                     state, metrics = step_fn(
                         state, batch, jax.random.fold_in(rng, step)
@@ -214,6 +267,20 @@ class Trainer:
                 else:
                     state, metrics = step_fn(state, batch)
                 step += 1
+
+                if collect_fn is not None and step % actor_interval == 0:
+                    dagger = collect_fn(
+                        state.params,
+                        jax.random.fold_in(jax.random.fold_in(rng, 0xDA66), step),
+                        self.host_batch,
+                    )
+                    dagger = self._to_global(jax.device_get(dagger))
+                    state, a_metrics = actor_step(state, dagger)
+                    self.logger.log(
+                        step,
+                        {f"actor_{k}": float(v)
+                         for k, v in jax.device_get(a_metrics).items()},
+                    )
 
                 if step % 50 == 0 or step == 1:
                     host = {k: float(v) for k, v in jax.device_get(metrics).items()}
@@ -227,16 +294,26 @@ class Trainer:
                     self.logger.log(
                         step, {k: float(v) for k, v in val.items()}, force_echo=True
                     )
+                    # Monitored best checkpoint (Lightning monitor="val_loss"
+                    # analogue, run_training.py:91-104; our monitored scalar
+                    # is the closed-loop target error).
+                    monitor = float(val["avg_target_error"])
+                    if self.should_checkpoint and monitor < best_monitor:
+                        best_monitor = monitor
+                        ckpt.save_named_checkpoint(
+                            self.ckpt_dir, "best", step, state
+                        )
 
                 if (
                     self.should_checkpoint
                     and time.time() - last_ckpt_time > cfg.checkpoint_interval * 60
                 ):
                     ckpt.save_checkpoint(self.ckpt_dir, step, state)
+                    ckpt.save_named_checkpoint(self.ckpt_dir, "last", step, state)
                     last_ckpt_time = time.time()
 
             if self.should_checkpoint:
-                ckpt.save_checkpoint(self.ckpt_dir, step, state)
+                ckpt.save_named_checkpoint(self.ckpt_dir, "last", step, state)
                 last_ckpt_time = time.time()
             print(f"epoch {epoch} done at step {step}", flush=True)
 

@@ -165,3 +165,28 @@ def test_evaluator_skips():
     m = ev.metrics(ev.groups["g"])
     assert m["skips"] == 1
     assert m["total"] == 2
+
+
+def test_depth_render_points_on_surface():
+    """Sphere-traced depth points must lie on the scene surface
+    (geom/depth.py, the --use-depth conversion, run_inference.py:194-257)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpinets_tpu.geom.depth import Camera, scene_to_point_cloud
+    from mpinets_tpu.geom.scene import pack_scenes
+    from mpinets_tpu.kernels.sdf import scene_sdf
+
+    scene = jax.tree_util.tree_map(
+        lambda x: x[0],
+        pack_scenes(
+            [[((0.6, 0.0, 0.3), (0.4, 0.4, 0.6), (1.0, 0.0, 0.0, 0.0))]], [[]]
+        ),
+    )
+    cloud = scene_to_point_cloud(
+        scene, jax.random.PRNGKey(0), 256, Camera(width=64, height=48)
+    )
+    sd = np.asarray(scene_sdf(cloud[None], scene)[0])
+    assert np.abs(sd).max() < 0.02, "depth points must sit on the surface"
+    # visible faces only: all points on the camera side (x <= front face)
+    assert float(cloud[:, 0].max()) <= 0.6 + 0.21

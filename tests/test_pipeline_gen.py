@@ -1,0 +1,83 @@
+"""Expert generation driver: scene fan-out -> verified plans -> schema HDF5
+with hindsight problems (mpinets_tpu.pipeline.gen vs gen_data.py:531-795)."""
+
+import pickle
+
+import h5py
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # batched planner compiles are heavy on CPU
+
+
+def test_gen_tabletop_writes_schema_and_problems(tmp_path):
+    from mpinets_tpu.pipeline import gen
+
+    stats = gen.gen(
+        "tabletop",
+        tmp_path / "data",
+        num_scenes=2,
+        candidates_per_scene=2,
+        seed=3,
+        inference_pkl=tmp_path / "problems.pkl",
+    )
+    assert stats["scenes"] >= 1
+    assert stats["pairs"] > 0
+    if stats["valid"] == 0:
+        pytest.skip("no valid plans in this tiny sample")
+
+    with h5py.File(tmp_path / "data" / "all_data.hdf5", "r") as f:
+        n = f["hybrid_solutions"].shape[0]
+        assert n == stats["valid"]
+        assert f["hybrid_solutions"].shape[1:] == (50, 7)
+        assert f["cuboid_centers"].ndim == 3
+
+    with open(tmp_path / "problems.pkl", "rb") as f:
+        pset = pickle.load(f)
+    problems = pset["tabletop"]["task-oriented"]
+    assert len(problems) == stats["valid"]
+
+    # Hindsight revision: the stored target IS the FK pose of the stored
+    # trajectory's final configuration -> every problem solvable by
+    # construction (gen_data.py:832-845).
+    import jax.numpy as jnp
+    from mpinets_tpu.kernels import kinematics
+
+    with h5py.File(tmp_path / "data" / "all_data.hdf5", "r") as f:
+        final_q = f["hybrid_solutions"][:, -1]
+    _, trans = kinematics.eff_pose(jnp.asarray(final_q))
+    for i, p in enumerate(problems):
+        np.testing.assert_allclose(
+            p.target.position, np.asarray(trans[i]), atol=1e-4
+        )
+
+
+def test_optimizer_routes_around_obstacle():
+    """The SDF-cost optimizer must clear a wall the straight path crosses."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpinets_tpu.geom.scene import pack_scenes
+    from mpinets_tpu.pipeline import expert
+    from mpinets_tpu.kernels import kinematics
+    from mpinets_tpu.robot import franka
+
+    # Start/goal on either side of the workspace; a thin wall in between.
+    q_start = jnp.asarray(franka.NEUTRAL_Q, jnp.float32).at[0].set(-0.9)
+    q_goal = jnp.asarray(franka.NEUTRAL_Q, jnp.float32).at[0].set(0.9)
+    wall = ((0.35, 0.0, 0.5), (0.3, 0.04, 1.0), (1.0, 0.0, 0.0, 0.0))
+    scene = jax.tree_util.tree_map(
+        lambda x: x[0], pack_scenes([[wall]], [[]])
+    )
+
+    straight = expert.min_jerk_interp(q_start, q_goal, 50)
+    assert bool(expert.env_collision_any(straight, scene)), (
+        "test setup: straight path should hit the wall"
+    )
+    opt = expert.optimize_trajectory(q_start, q_goal, scene)
+    assert not bool(expert.env_collision_any(opt, scene)), (
+        "optimizer failed to clear the wall"
+    )
+    # endpoints preserved
+    np.testing.assert_allclose(np.asarray(opt[0]), np.asarray(q_start), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(opt[-1]), np.asarray(q_goal), atol=1e-6)
