@@ -4,7 +4,7 @@ Mirrors the reference driver's interface
 (``/root/reference/mpinets/run_training.py:134-204``)::
 
     python -m mpinets_tpu.cli.train <jobconfig.yaml> [--test] [--no-logging]
-        [--no-checkpointing] [--synthetic-data]
+        [--no-checkpointing] [--synthetic-data] [--resume EXP_DIR]
 
 The YAML may be the reference's own ``jobconfig.yaml`` layout or this
 package's nested layout (see :mod:`mpinets_tpu.cli.config`).
@@ -32,11 +32,17 @@ def main(argv=None) -> None:
         "--synthetic-data", action="store_true",
         help="train on the on-device pseudo-expert generator instead of HDF5",
     )
+    parser.add_argument(
+        "--resume", default=None, metavar="EXP_DIR",
+        help="resume from an experiment directory's `last` checkpoint",
+    )
     args = parser.parse_args(argv)
 
     cfg = load_config(args.yaml_config)
     if args.synthetic_data:
         cfg.data.synthetic = True
+    if args.resume:
+        cfg.resume_from = args.resume
     trainer = Trainer(
         cfg,
         test=args.test,

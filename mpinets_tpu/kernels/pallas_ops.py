@@ -88,9 +88,12 @@ def _fps_kernel(
     oz_ref[:] = bz
 
 
-@functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("npoint", "interpret", "batch_tile")
+)
 def furthest_point_sample_with_coords(
-    xyz: jnp.ndarray, npoint: int, interpret: bool = False
+    xyz: jnp.ndarray, npoint: int, interpret: bool = False,
+    batch_tile: int = _BATCH_TILE,
 ):
     """Pallas FPS: [B, N, 3] -> (idx int32 [B, npoint], coords [B, npoint, 3]).
 
@@ -101,7 +104,7 @@ def furthest_point_sample_with_coords(
     a separate (slow) XLA gather.
     """
     b, n, _ = xyz.shape
-    tb = _BATCH_TILE
+    tb = batch_tile
     pad_b = (-b) % tb
     pad_n = (-n) % 128
     x = jnp.pad(xyz[..., 0], ((0, pad_b), (0, pad_n))).astype(jnp.float32)
