@@ -29,9 +29,12 @@ key = jax.random.PRNGKey(0)
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 mk = lambda i, s: jax.random.normal(jax.random.fold_in(key, i), s) * 0.2
 
-# --- FPS
+# --- FPS (batch-tile sweep)
 xyz = jax.random.uniform(key, (B, 6272, 3), minval=-0.7, maxval=0.7)
-bench(f"fps0 B={B}", jax.jit(lambda x: pallas_ops.furthest_point_sample_with_coords(x, 512)), xyz)
+for tb in (8, 16, 32):
+    bench(f"fps0 B={B} tb={tb}",
+          jax.jit(lambda x, tb=tb: pallas_ops.furthest_point_sample_with_coords(
+              x, 512, batch_tile=tb)), xyz)
 
 # --- SA stages
 feat = jax.random.uniform(key, (B, 6272, 1))

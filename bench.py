@@ -87,6 +87,9 @@ def main() -> None:
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--no-fused", action="store_true",
                         help="use the plain-XLA model.apply path")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax profiler trace of one measured "
+                             "rollout into DIR")
     args = parser.parse_args()
 
     from mpinets_tpu.model.fused import make_fused_apply
@@ -97,9 +100,17 @@ def main() -> None:
     params = model.init(rng, jnp.zeros((1, 6272, 4)), jnp.zeros((1, 7)))
     apply_fn = None if args.no_fused else make_fused_apply(jnp.bfloat16)
 
+    if args.profile:
+        import contextlib
+        prof = lambda: jax.profiler.trace(args.profile)
+    else:
+        import contextlib
+        prof = contextlib.nullcontext
+
     batches = (64, 256, 512) if args.sweep else (args.batch,)
     best = 0.0
     for b in batches:
+      with prof():
         rate = measure_batch(
             model, params, apply_fn, b,
             args.steps_short, args.steps_long, args.repeats, rng,

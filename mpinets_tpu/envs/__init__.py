@@ -7,6 +7,7 @@ from mpinets_tpu.envs.base import (  # noqa: F401
     Environment,
     NeutralCandidate,
     TaskOrientedCandidate,
+    pose_from_xz_axes,
     pose_from_z_axis,
     radius_sample,
 )

@@ -207,8 +207,9 @@ def _sa_kernel(
     num_chunks: int,
     num_planes: int,
     compute_dtype,
+    tile_s: int = _TS,
 ):
-    ts = _TS
+    ts = tile_s
     nc = num_chunks
     ns = nsample
     p = num_planes        # 3 + C raw channels
@@ -353,7 +354,9 @@ def _bd_strict(ts: int, nc: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "nsample", "compute_dtype", "interpret"),
+    static_argnames=(
+        "radius", "nsample", "compute_dtype", "interpret", "tile_s"
+    ),
 )
 def sa_stage(
     xyz: jnp.ndarray,        # [B, N, 3] points
@@ -366,6 +369,7 @@ def sa_stage(
     nsample: int = 128,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    tile_s: int = _TS,
 ):
     """Fused SA stage. Returns (features [B, S, C3] f32, idx [B, S, nsample]).
 
@@ -389,7 +393,7 @@ def sa_stage(
         features = jnp.pad(features, ((0, 0), (0, pad_n), (0, 0)))
         n += pad_n
     s_in = s
-    pad_s = (-s) % _TS
+    pad_s = (-s) % tile_s
     if pad_s:
         centroids = jnp.pad(
             centroids, ((0, 0), (0, pad_s), (0, 0)), constant_values=1e6
@@ -403,9 +407,9 @@ def sa_stage(
     planes = jnp.swapaxes(planes, 1, 2).reshape(b, p * nc, 128)
     w1p = w1 if p % 8 == 0 else jnp.pad(w1, ((0, (-p) % 8), (0, 0)))
     lt = _lt128()
-    bd = _bd_strict(_TS, nc)
+    bd = _bd_strict(tile_s, nc)
 
-    grid = (b, s // _TS)
+    grid = (b, s // tile_s)
     kernel = functools.partial(
         _sa_kernel,
         radius=radius,
@@ -413,6 +417,7 @@ def sa_stage(
         num_chunks=nc,
         num_planes=p,
         compute_dtype=compute_dtype,
+        tile_s=tile_s,
     )
     feats, idx = pl.pallas_call(
         kernel,
@@ -432,13 +437,17 @@ def sa_stage(
             pl.BlockSpec((1, b3.shape[-1]), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (_TS * nc, _TS * nc), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+                (tile_s * nc, tile_s * nc), lambda i, j: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
-            pl.BlockSpec((1, _TS, c3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, _TS, nsample), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+                (1, tile_s, c3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_s, nsample), lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(

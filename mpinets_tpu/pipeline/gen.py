@@ -99,10 +99,21 @@ def plan_scene(
     )
     valid = np.asarray(res.valid)
     trajs = np.asarray(res.trajectory)[valid]
-    return trajs, _scene_arrays(env, len(trajs)), {
+    # Per-pair failure tallies on the final trajectories (the reference's
+    # error-code convention, gen_data.py:91-103,419-430).
+    ver = jax.vmap(
+        expert.verify_trajectory, in_axes=(0, 0, 0, None)
+    )(res.trajectory, jnp.asarray(rots), jnp.asarray(trans), scene)
+    stats = {
         "pairs": len(pairs),
         "valid": int(valid.sum()),
+        "miss": int(np.asarray(ver.miss > expert.MISS_TOLERANCE).sum()),
+        "jerk": int(np.asarray(ver.max_jerk > expert.MAX_JERK).sum()),
+        "self_collision": int(np.asarray(ver.has_self_collision).sum()),
+        "env_collision": int(np.asarray(ver.has_env_collision).sum()),
+        "limit_violation": int(np.asarray(~ver.within_limits).sum()),
     }
+    return trajs, _scene_arrays(env, len(trajs)), stats
 
 
 def _scene_arrays(env: Environment, n: int) -> dict:
@@ -184,8 +195,11 @@ def gen(
         total["scenes"] += 1
         total["pairs"] += stats["pairs"]
         total["valid"] += stats["valid"]
+        fails = {k: v for k, v in stats.items()
+                 if k not in ("pairs", "valid") and v}
         print(
-            f"scene {s}: {stats['valid']}/{stats['pairs']} plans valid",
+            f"scene {s}: {stats['valid']}/{stats['pairs']} plans valid"
+            + (f" (fails: {fails})" if fails else ""),
             flush=True,
         )
         if len(trajs) == 0:

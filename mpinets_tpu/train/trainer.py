@@ -284,6 +284,14 @@ class Trainer:
 
                 if step % 50 == 0 or step == 1:
                     host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    now = time.time()
+                    if hasattr(self, "_tick"):
+                        dsteps = step - self._tick_step
+                        host["steps_per_s"] = dsteps / max(now - self._tick, 1e-9)
+                        host["env_samples_per_s"] = (
+                            host["steps_per_s"] * self.global_batch
+                        )
+                    self._tick, self._tick_step = now, step
                     self.logger.log(step, host)
 
                 if step % val_interval == 0:
