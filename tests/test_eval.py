@@ -190,3 +190,27 @@ def test_depth_render_points_on_surface():
     assert np.abs(sd).max() < 0.02, "depth points must sit on the surface"
     # visible faces only: all points on the camera side (x <= front face)
     assert float(cloud[:, 0].max()) <= 0.6 + 0.21
+
+
+def test_compare_harness_detects_drift(tmp_path):
+    """eval/compare.py: identical pickles pass, drifted rates are flagged."""
+    import pickle
+
+    from mpinets_tpu.eval.compare import compare_files
+
+    ours = {"tabletop_task-oriented": {"total": 10, "success": 90.0,
+                                       "position_error": 0.005}}
+    same = tmp_path / "a.pkl"
+    drift = tmp_path / "b.pkl"
+    with open(same, "wb") as f:
+        pickle.dump(ours, f)
+    theirs = {"tabletop_task-oriented": {"total": 10, "success": 85.0,
+                                         "position_error": 0.005}}
+    with open(drift, "wb") as f:
+        pickle.dump(theirs, f)
+
+    rep = compare_files(same, same)
+    assert rep == {"tabletop_task-oriented": []}
+    rep = compare_files(same, drift)
+    bad = rep["tabletop_task-oriented"]
+    assert len(bad) == 1 and bad[0][0] == "success"
