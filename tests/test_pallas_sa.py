@@ -98,3 +98,37 @@ def test_fused_forward_matches_flax():
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(ref), atol=2e-5, rtol=1e-4
     )
+
+
+def test_fused_rollout_matches_flax_rollout():
+    """The rollout engine with the fused apply must reproduce the flax-apply
+    rollout trajectory (same key stream) over compounding steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpinets_tpu.data.synthetic import random_problem_batch
+    from mpinets_tpu.geom.assembly import PointCloudSizes
+    from mpinets_tpu.model.fused import make_fused_apply
+    from mpinets_tpu.rollout.engine import make_rollout_fn
+
+    sizes = PointCloudSizes(robot=64, obstacle=48, target=16)
+    npoints = (16, 8)
+    m = MotionPolicyNetwork(sa_npoints=npoints)
+    key = jax.random.PRNGKey(0)
+    prob = random_problem_batch(key, 2)
+    params = m.init(key, jnp.zeros((1, sizes.total, 4)), jnp.zeros((1, 7)))
+    fused = make_rollout_fn(
+        m, max_steps=3, sizes=sizes,
+        apply_fn=make_fused_apply(jnp.float32, interpret=True,
+                                  sa_npoints=npoints),
+    )
+    flax = make_rollout_fn(m, max_steps=3, sizes=sizes)
+    res_f = fused(params, prob, key)
+    res_x = flax(params, prob, key)
+    np.testing.assert_allclose(
+        np.asarray(res_f.trajectories), np.asarray(res_x.trajectories),
+        atol=1e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_f.num_steps), np.asarray(res_x.num_steps)
+    )
