@@ -215,11 +215,10 @@ def _sa_kernel(
     p = num_planes        # 3 + C raw channels
     rb = ts * nc          # chunk-rows in the tile
     f32 = jnp.float32
-    jt = pl.program_id(1)
 
-    cxs = [cx_ref[0, 0, jt * ts + g] for g in range(ts)]
-    cys = [cy_ref[0, 0, jt * ts + g] for g in range(ts)]
-    czs = [cz_ref[0, 0, jt * ts + g] for g in range(ts)]
+    cxs = [cx_ref[0, g, 0] for g in range(ts)]
+    cys = [cy_ref[0, g, 0] for g in range(ts)]
+    czs = [cz_ref[0, g, 0] for g in range(ts)]
 
     planes = pts_ref[0]                     # [p*nc, 128]
     x = planes[0 * nc : 1 * nc].astype(f32)  # [nc, 128]
@@ -426,9 +425,15 @@ def sa_stage(
             pl.BlockSpec(
                 (1, p * nc, 128), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, tile_s, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_s, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_s, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(w1p.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b1.shape[-1]), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(w2.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -457,8 +462,7 @@ def sa_stage(
         interpret=interpret,
     )(
         planes,
-        centroids[..., 0][:, None], centroids[..., 1][:, None],
-        centroids[..., 2][:, None],
+        centroids[..., 0:1], centroids[..., 1:2], centroids[..., 2:3],
         w1p, b1.reshape(1, -1), w2, b2.reshape(1, -1), w3, b3.reshape(1, -1),
         lt, bd,
     )

@@ -58,7 +58,10 @@ def _mlp_params(tree):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("compute_dtype", "interpret", "sa_npoints")
+    jax.jit,
+    static_argnames=(
+        "compute_dtype", "interpret", "sa_npoints", "sa_tiles", "fps_tile"
+    ),
 )
 def fused_policy_apply(
     variables: Any,
@@ -67,6 +70,8 @@ def fused_policy_apply(
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
     sa_npoints: tuple = (512, 128),
+    sa_tiles: tuple = (8, 8),
+    fps_tile: int = 8,
 ) -> jnp.ndarray:
     """Delta-q prediction, numerically equivalent to ``model.apply``."""
     p = variables["params"]
@@ -79,23 +84,23 @@ def fused_policy_apply(
     # ---- SA0: N -> 512 centroids, 64-dim features -------------------------
     (w1, b1), (w2, b2), (w3, b3) = _mlp_params(enc["sa0"]["mlp"])
     _, cent0 = pallas_ops.furthest_point_sample_with_coords(
-        xyz, sa_npoints[0], interpret=interpret
+        xyz, sa_npoints[0], interpret=interpret, batch_tile=fps_tile
     )
     f0, _ = pallas_ops.sa_stage(
         xyz, feat, cent0, w1, b1, w2, b2, w3, b3,
         radius=SA0["radius"], nsample=SA0["nsample"],
-        compute_dtype=cdt, interpret=interpret,
+        compute_dtype=cdt, interpret=interpret, tile_s=sa_tiles[0],
     )
 
     # ---- SA1: 512 -> 128 centroids, 256-dim features ----------------------
     (w1, b1), (w2, b2), (w3, b3) = _mlp_params(enc["sa1"]["mlp"])
     _, cent1 = pallas_ops.furthest_point_sample_with_coords(
-        cent0, sa_npoints[1], interpret=interpret
+        cent0, sa_npoints[1], interpret=interpret, batch_tile=fps_tile
     )
     f1, _ = pallas_ops.sa_stage(
         cent0, f0, cent1, w1, b1, w2, b2, w3, b3,
         radius=SA1["radius"], nsample=SA1["nsample"],
-        compute_dtype=cdt, interpret=interpret,
+        compute_dtype=cdt, interpret=interpret, tile_s=sa_tiles[1],
     )
 
     # ---- global SA (group all, xyz NOT recentred) + FC head ---------------
@@ -132,6 +137,8 @@ def make_fused_apply(
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
     sa_npoints: tuple = (512, 128),
+    sa_tiles: tuple = (8, 8),
+    fps_tile: int = 8,
 ):
     """(variables, xyz, q) -> dq, matching the model.apply signature."""
 
@@ -139,7 +146,7 @@ def make_fused_apply(
         return fused_policy_apply(
             variables, point_cloud, q_norm,
             compute_dtype=compute_dtype, interpret=interpret,
-            sa_npoints=sa_npoints,
+            sa_npoints=sa_npoints, sa_tiles=sa_tiles, fps_tile=fps_tile,
         )
 
     return apply
