@@ -45,13 +45,17 @@ def _fps_kernel(
 
     mind_ref[:] = jnp.full((tb, n), jnp.inf, jnp.float32)
 
+    f32 = jnp.float32
+
     def body(i, carry):
         cx, cy, cz, buf, bx, by, bz = carry
-        d2 = (
-            (x_ref[:] - cx) ** 2
-            + (y_ref[:] - cy) ** 2
-            + (z_ref[:] - cz) ** 2
-        )
+        # Coordinates may be bf16 (bench mode: halves the per-iteration VMEM
+        # traffic, which is the kernel's floor); min-distance state and the
+        # selection compare stay f32.
+        x = x_ref[:].astype(f32)
+        y = y_ref[:].astype(f32)
+        z = z_ref[:].astype(f32)
+        d2 = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
         md = jnp.minimum(mind_ref[:], d2)
         mind_ref[:] = md
         m = jnp.max(md, axis=1, keepdims=True)
@@ -60,10 +64,10 @@ def _fps_kernel(
         sel = md == m
         nxt = jnp.min(jnp.where(sel, lane, n), axis=1, keepdims=True)
         pick = lane == nxt
-        zero = jnp.zeros_like(x_ref[:])
-        cx = jnp.sum(jnp.where(pick, x_ref[:], zero), axis=1, keepdims=True)
-        cy = jnp.sum(jnp.where(pick, y_ref[:], zero), axis=1, keepdims=True)
-        cz = jnp.sum(jnp.where(pick, z_ref[:], zero), axis=1, keepdims=True)
+        zero = jnp.zeros_like(x)
+        cx = jnp.sum(jnp.where(pick, x, zero), axis=1, keepdims=True)
+        cy = jnp.sum(jnp.where(pick, y, zero), axis=1, keepdims=True)
+        cz = jnp.sum(jnp.where(pick, z, zero), axis=1, keepdims=True)
         # Dynamic single-lane stores are not expressible in Mosaic; keep the
         # outputs in the carry via masked merges, written once at the end.
         at = slot == i
@@ -73,7 +77,9 @@ def _fps_kernel(
         bz = jnp.where(at, cz, bz)
         return cx, cy, cz, buf, bx, by, bz
 
-    x0, y0, z0 = x_ref[:, 0:1], y_ref[:, 0:1], z_ref[:, 0:1]
+    x0 = x_ref[:, 0:1].astype(f32)
+    y0 = y_ref[:, 0:1].astype(f32)
+    z0 = z_ref[:, 0:1].astype(f32)
     init = (
         x0, y0, z0,
         jnp.zeros((tb, npad), jnp.int32),
@@ -107,8 +113,8 @@ def furthest_point_sample_with_coords(
     tb = batch_tile
     pad_b = (-b) % tb
     pad_n = (-n) % 128
-    x = jnp.pad(xyz[..., 0], ((0, pad_b), (0, pad_n))).astype(jnp.float32)
-    y = jnp.pad(xyz[..., 1], ((0, pad_b), (0, pad_n))).astype(jnp.float32)
+    x = jnp.pad(xyz[..., 0], ((0, pad_b), (0, pad_n)))
+    y = jnp.pad(xyz[..., 1], ((0, pad_b), (0, pad_n)))
     z = jnp.pad(xyz[..., 2], ((0, pad_b), (0, pad_n)))
     # Padded lanes are made to coincide with point 0 (d2 = 0 to the selected
     # set forever, so they are never the argmax while any real point remains).
