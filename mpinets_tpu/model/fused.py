@@ -70,8 +70,8 @@ def fused_policy_apply(
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
     sa_npoints: tuple = (512, 128),
-    sa_tiles: tuple = (8, 8),
-    fps_tile: int = 8,
+    sa_tiles: tuple = (32, 32),
+    fps_tile: int = 32,
 ) -> jnp.ndarray:
     """Delta-q prediction, numerically equivalent to ``model.apply``."""
     p = variables["params"]
@@ -137,10 +137,14 @@ def make_fused_apply(
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
     sa_npoints: tuple = (512, 128),
-    sa_tiles: tuple = (8, 8),
-    fps_tile: int = 8,
+    sa_tiles: tuple = (32, 32),
+    fps_tile: int = 32,
 ):
-    """(variables, xyz, q) -> dq, matching the model.apply signature."""
+    """(variables, xyz, q) -> dq, matching the model.apply signature.
+
+    Tile defaults are the on-chip sweep winners (r2: SA0 64~=32>16>8,
+    SA1 32>16>8, FPS batch-tile 32>8~=16).
+    """
 
     def apply(variables, point_cloud, q_norm):
         return fused_policy_apply(
