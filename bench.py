@@ -87,6 +87,8 @@ def main() -> None:
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--no-fused", action="store_true",
                         help="use the plain-XLA model.apply path")
+    parser.add_argument("--bf16-cloud", action="store_true",
+                        help="carry coordinates in bf16 through FPS")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="capture a jax profiler trace of one measured "
                              "rollout into DIR")
@@ -98,7 +100,9 @@ def main() -> None:
     model = MotionPolicyNetwork(compute_dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     params = model.init(rng, jnp.zeros((1, 6272, 4)), jnp.zeros((1, 7)))
-    apply_fn = None if args.no_fused else make_fused_apply(jnp.bfloat16)
+    apply_fn = None if args.no_fused else make_fused_apply(
+        jnp.bfloat16, bf16_cloud=args.bf16_cloud
+    )
 
     if args.profile:
         import contextlib

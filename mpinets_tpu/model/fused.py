@@ -60,7 +60,7 @@ def _mlp_params(tree):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "compute_dtype", "interpret", "sa_npoints", "sa_tiles", "fps_tile"
+        "compute_dtype", "interpret", "sa_npoints", "sa_tiles", "fps_tile", "bf16_cloud"
     ),
 )
 def fused_policy_apply(
@@ -72,13 +72,22 @@ def fused_policy_apply(
     sa_npoints: tuple = (512, 128),
     sa_tiles: tuple = (32, 32),
     fps_tile: int = 32,
+    bf16_cloud: bool = False,
 ) -> jnp.ndarray:
-    """Delta-q prediction, numerically equivalent to ``model.apply``."""
+    """Delta-q prediction, numerically equivalent to ``model.apply``.
+
+    ``bf16_cloud=True`` carries the coordinates in bf16 through FPS (halves
+    that kernel's VMEM-bandwidth floor). It changes which points FPS/ball
+    query select at rounding ties, so it is a benchmark/deployment mode, not
+    the parity mode.
+    """
     p = variables["params"]
     enc = p["point_cloud_encoder"]
     cdt = compute_dtype
 
     xyz = point_cloud[..., :3]
+    if bf16_cloud:
+        xyz = xyz.astype(jnp.bfloat16)
     feat = point_cloud[..., 3:]
 
     # ---- SA0: N -> 512 centroids, 64-dim features -------------------------
@@ -139,6 +148,7 @@ def make_fused_apply(
     sa_npoints: tuple = (512, 128),
     sa_tiles: tuple = (32, 32),
     fps_tile: int = 32,
+    bf16_cloud: bool = False,
 ):
     """(variables, xyz, q) -> dq, matching the model.apply signature.
 
@@ -151,6 +161,7 @@ def make_fused_apply(
             variables, point_cloud, q_norm,
             compute_dtype=compute_dtype, interpret=interpret,
             sa_npoints=sa_npoints, sa_tiles=sa_tiles, fps_tile=fps_tile,
+            bf16_cloud=bf16_cloud,
         )
 
     return apply
