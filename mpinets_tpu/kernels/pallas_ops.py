@@ -290,7 +290,13 @@ def _sa_kernel(
     pts0 = [planes[ch * nc, 0].astype(f32) for ch in range(p)]
     planes_f = planes.astype(f32)
 
-    h1_blocks = []
+    # Gather/merge per centroid (vector ops, cheap), but run MLP layer 1 as
+    # ONE batched matmul over all ts*ns slot rows: on-chip ablation showed
+    # per-tile cost is dominated by small-matmul launch latency (~1-2 us
+    # each), so per-centroid [ns, p] matmuls are the enemy.
+    raw_blocks = []
+    brep_blocks = []
+    fix_blocks = []
     vmask_parts = []
     for g in range(ts):
         pos_g = pos[g * nc : (g + 1) * nc]                # [nc, 128]
@@ -299,29 +305,37 @@ def _sa_kernel(
         gmask = jnp.broadcast_to(val_g, (p, nc, 128)).reshape(p * nc, 128)
         gat = jnp.take_along_axis(planes_f, gidx, axis=1) * gmask
         merged_g = jnp.sum(gat.reshape(p, nc, 128), axis=1)  # [p, 128]
-        raw_g = jnp.transpose(merged_g)                   # [128 slots, p]
+        raw_blocks.append(jnp.transpose(merged_g))        # [128 slots, p]
 
         b_g = (
             cxs[g] * w1f[0:1] + cys[g] * w1f[1:2] + czs[g] * w1f[2:3]
         )                                                 # [1, c1]
-        block = (
-            jnp.dot(raw_g.astype(cdt), w1, preferred_element_type=f32)
-            + b1_ref[:].astype(f32)
-            - b_g
-        )
+        brep_blocks.append(jnp.broadcast_to(b_g, (ns, c1)))
         # count == 0: CUDA leaves index 0 everywhere -> point 0's layer-1 row
         # (only slot 0 survives the valid mask, so fixing it is sufficient).
         h0 = b1_ref[:].astype(f32) - b_g
         for ch in range(p):
             h0 = h0 + pts0[ch] * w1f[ch : ch + 1]
         tg = totals[g, 0]
-        block = jnp.where(
-            (tg < 0.5) & slot0, jnp.broadcast_to(h0, block.shape), block
+        fix_blocks.append(
+            jnp.where(
+                (tg < 0.5) & slot0,
+                jnp.broadcast_to(h0, (ns, c1)),
+                jnp.nan,
+            )
         )
-        h1_blocks.append(block)
         vmask_parts.append(j128 < jnp.maximum(tg, 1.0).astype(jnp.int32))
-    h1 = jnp.concatenate(h1_blocks, axis=0)               # [ts*ns, c1]
+    raw_all = jnp.concatenate(raw_blocks, axis=0)         # [ts*ns, p]
+    b_rep = jnp.concatenate(brep_blocks, axis=0)          # [ts*ns, c1]
+    fix = jnp.concatenate(fix_blocks, axis=0)             # [ts*ns, c1]
     vmask = jnp.concatenate(vmask_parts, axis=0)          # [ts*ns, 1]
+
+    h1 = (
+        jnp.dot(raw_all.astype(cdt), w1, preferred_element_type=f32)
+        + b1_ref[:].astype(f32)
+        - b_rep
+    )
+    h1 = jnp.where(jnp.isnan(fix), h1, fix)
     h = jnp.maximum(h1, 0).astype(cdt)
     h = jnp.maximum(
         jnp.dot(h, w2_ref[:].astype(cdt), preferred_element_type=f32)
