@@ -89,6 +89,8 @@ def main() -> None:
                         help="use the plain-XLA model.apply path")
     parser.add_argument("--bf16-cloud", action="store_true",
                         help="carry coordinates in bf16 through FPS")
+    parser.add_argument("--fps-impl", default="v1", choices=("v1", "v2"),
+                        help="Pallas FPS kernel variant")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="capture a jax profiler trace of one measured "
                              "rollout into DIR")
@@ -101,7 +103,7 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     params = model.init(rng, jnp.zeros((1, 6272, 4)), jnp.zeros((1, 7)))
     apply_fn = None if args.no_fused else make_fused_apply(
-        jnp.bfloat16, bf16_cloud=args.bf16_cloud
+        jnp.bfloat16, bf16_cloud=args.bf16_cloud, fps_impl=args.fps_impl
     )
 
     if args.profile:

@@ -94,12 +94,59 @@ def _fps_kernel(
     oz_ref[:] = bz
 
 
+def _fps_kernel_v2(
+    x_ref, y_ref, z_ref, out_ref, ox_ref, oy_ref, oz_ref, mind_ref,
+    *, npoint: int,
+):
+    """FPS v2: transposed outputs ([npoint, TB]) written by dynamic sublane
+    stores each iteration instead of v1's four [TB, npoint] masked-merge
+    carries, and argmax via a single fused value reduction (jnp.argmax's
+    first-index tie-breaking matches the CUDA kernel and the oracle).
+
+    Cuts ~1/3 of v1's per-iteration VPU work; selection semantics identical.
+    """
+    tb, n = x_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tb, n), 1)
+    mind_ref[:] = jnp.full((tb, n), jnp.inf, jnp.float32)
+    f32 = jnp.float32
+
+    x0 = x_ref[:, 0:1].astype(f32)
+    y0 = y_ref[:, 0:1].astype(f32)
+    z0 = z_ref[:, 0:1].astype(f32)
+    out_ref[0, 0:1, :] = jnp.zeros((1, tb), jnp.int32)
+    ox_ref[0, 0:1, :] = x0.reshape(1, tb)
+    oy_ref[0, 0:1, :] = y0.reshape(1, tb)
+    oz_ref[0, 0:1, :] = z0.reshape(1, tb)
+
+    def body(i, carry):
+        cx, cy, cz = carry
+        x = x_ref[:].astype(f32)
+        y = y_ref[:].astype(f32)
+        z = z_ref[:].astype(f32)
+        d2 = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
+        md = jnp.minimum(mind_ref[:], d2)
+        mind_ref[:] = md
+        nxt = jnp.argmax(md, axis=1)[:, None]            # [tb, 1] first-max
+        pick = lane == nxt
+        zero = jnp.zeros_like(x)
+        cx = jnp.sum(jnp.where(pick, x, zero), axis=1, keepdims=True)
+        cy = jnp.sum(jnp.where(pick, y, zero), axis=1, keepdims=True)
+        cz = jnp.sum(jnp.where(pick, z, zero), axis=1, keepdims=True)
+        out_ref[0, pl.ds(i, 1), :] = nxt.reshape(1, tb)
+        ox_ref[0, pl.ds(i, 1), :] = cx.reshape(1, tb)
+        oy_ref[0, pl.ds(i, 1), :] = cy.reshape(1, tb)
+        oz_ref[0, pl.ds(i, 1), :] = cz.reshape(1, tb)
+        return cx, cy, cz
+
+    jax.lax.fori_loop(1, npoint, body, (x0, y0, z0))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("npoint", "interpret", "batch_tile")
+    jax.jit, static_argnames=("npoint", "interpret", "batch_tile", "impl")
 )
 def furthest_point_sample_with_coords(
     xyz: jnp.ndarray, npoint: int, interpret: bool = False,
-    batch_tile: int = _BATCH_TILE,
+    batch_tile: int = _BATCH_TILE, impl: str = "v1",
 ):
     """Pallas FPS: [B, N, 3] -> (idx int32 [B, npoint], coords [B, npoint, 3]).
 
@@ -126,8 +173,32 @@ def furthest_point_sample_with_coords(
 
     bp, np_ = x.shape
     grid = (bp // tb,)
-    kernel = functools.partial(_fps_kernel, npoint=npoint)
     spec = pl.BlockSpec((tb, np_), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if impl == "v2":
+        g = bp // tb
+        out_spec = pl.BlockSpec(
+            (1, npoint, tb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        shp = lambda dt: jax.ShapeDtypeStruct((g, npoint, tb), dt)
+        idx, ox, oy, oz = pl.pallas_call(
+            functools.partial(_fps_kernel_v2, npoint=npoint),
+            grid=grid,
+            in_specs=[spec, spec, spec],
+            out_specs=(out_spec, out_spec, out_spec, out_spec),
+            out_shape=(
+                shp(jnp.int32), shp(jnp.float32), shp(jnp.float32),
+                shp(jnp.float32),
+            ),
+            scratch_shapes=[pltpu.VMEM((tb, np_), jnp.float32)],
+            interpret=interpret,
+        )(x, y, z)
+        untile = lambda a: jnp.swapaxes(a, 1, 2).reshape(bp, npoint)[:b]
+        coords = jnp.stack(
+            [untile(ox), untile(oy), untile(oz)], axis=-1
+        ).astype(xyz.dtype)
+        return untile(idx), coords
+
+    kernel = functools.partial(_fps_kernel, npoint=npoint)
     out_spec = pl.BlockSpec(
         (tb, npoint), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -204,7 +275,6 @@ def _sa_kernel(
     w3_ref,      # [C2, C3]
     b3_ref,      # [1, C3]
     lt_ref,      # [128, 128] lower-triangular ones (bf16)
-    bd_ref,      # [RB, RB] block-diag strictly-lower-tri ones (f32)
     out_ref,     # [1, TS, C3]
     idx_ref,     # [1, TS, ns] selected indices (int32)
     *,
@@ -242,38 +312,59 @@ def _sa_kernel(
     in_ball = (d2 < radius * radius).astype(jnp.bfloat16)
 
     # ---- 2. inclusive counts: per-chunk (MXU) + chunk offsets -------------
+    # Chunk offsets via a block-masked Hillis-Steele prefix scan over the
+    # sublane dimension of the [rb, 1] per-chunk totals (log2(nc) shift+add
+    # rounds). v4: replaces the [rb, rb] block-diagonal matvec, whose rb^2
+    # constant (9.8 MB at ts=32, 39 MB at ts=64) was streamed from VMEM
+    # every grid step and capped the centroid tile size; Mosaic cannot
+    # shape-cast [rb, 1] <-> [ts, nc], so the scan stays in the rb domain.
     local_cnt = jnp.dot(
         in_ball, lt_ref[:], preferred_element_type=f32
     )                                                    # [rb, 128]
     tot = local_cnt[:, 127:128]                          # [rb, 1]
-    base_excl = jnp.dot(bd_ref[:], tot, preferred_element_type=f32)
-    base_incl = base_excl + tot
+    pos_ib = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0) % nc
+    # Shifts via tpu.roll (wrapped rows land only where the block mask is 0,
+    # because rb % nc == 0); Mosaic cannot concatenate offset-layout slices.
+    psum = tot                                           # within-block incl.
+    step = 1
+    while step < nc:
+        shifted = pltpu.roll(psum, step, 0)
+        psum = psum + jnp.where(pos_ib >= step, shifted, 0.0)
+        step *= 2
+    base_excl = psum - tot
+    base_incl = psum
     cnt = local_cnt + base_excl                          # [rb, 128] monotone
 
     # ---- 3. slot inversion: lane of rank j+1 per (chunk-row, slot) --------
-    # pos[r, j] = #{l : cnt[r, l] <= j}; 8-round binary search, all slots at
-    # once (j = lane). cnt is f32-exact (integer counts).
+    # pos[r, j] = #{l : cnt[r, l] <= j}; 7-round binary search, all slots at
+    # once (j = lane). The search runs on bf16 cnt -- integer counts <= 128
+    # are bf16-exact and the half-width vregs double the lane-gather rate,
+    # which dominates this kernel. Slots with j >= count are garbage here and
+    # masked by `valid` below, so no 128-step round or overflow guard is
+    # needed (steps sum to 127, lo stays in [0, 127]).
     jlane = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 1)
     jf = jlane.astype(f32)
+    jb = jlane.astype(jnp.bfloat16)
+    cnt_b = cnt.astype(jnp.bfloat16)
     lo = jnp.zeros((rb, 128), jnp.int32)
-    for step in (128, 64, 32, 16, 8, 4, 2, 1):
-        probe = jnp.minimum(lo + step - 1, 127)
-        gathered = jnp.take_along_axis(cnt, probe, axis=1)
-        ok = (gathered <= jf) & (lo + step <= 128)
-        lo = jnp.where(ok, lo + step, lo)
-    pos = jnp.minimum(lo, 127)                           # [rb, 128]
+    for step in (64, 32, 16, 8, 4, 2, 1):
+        probe = lo + (step - 1)
+        gathered = jnp.take_along_axis(cnt_b, probe, axis=1)
+        lo = jnp.where(gathered <= jb, lo + step, lo)
+    pos = lo                                             # [rb, 128]
 
     # ---- 4. per-chunk slot ownership masks ---------------------------------
     valid = (jf >= base_excl) & (jf < base_incl)         # [rb, 128]
-    validf = valid.astype(f32)
+    validf = valid.astype(compute_dtype)
 
     # merged indices [ts, 128]: sum over each centroid's nc chunk rows
     chunk_of = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 0) % nc
     sel_contrib = (chunk_of * 128 + pos) * valid.astype(jnp.int32)
     merged_idx = jnp.sum(sel_contrib.reshape(ts, nc, 128), axis=1)
 
-    # totals per centroid [ts, 1]
-    totals = jnp.sum(tot.reshape(ts, nc), axis=1, keepdims=True)  # [ts, 1]
+    # per-centroid totals [ts, 1] (first-chunk rows of psum are chunk-0
+    # counts, so sum the per-chunk tot instead: sum over the nc sublanes).
+    totals = jnp.sum(tot.reshape(ts, nc, 1), axis=1)     # [ts, 1]
 
     # ---- 5-7. per centroid: gather channels, merge, layer-1 matmul ---------
     # Recentring is folded into layer 1 algebraically:
@@ -288,7 +379,11 @@ def _sa_kernel(
     j128 = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
     slot0 = j128 == 0
     pts0 = [planes[ch * nc, 0].astype(f32) for ch in range(p)]
-    planes_f = planes.astype(f32)
+    # In the bf16 compute path the gathered raw block feeds a bf16 matmul,
+    # so gathering from pre-cast bf16 planes is bitwise identical to
+    # gather-then-cast while halving the lane-gather vreg traffic (the
+    # kernel's dominant cost). f32 compute keeps f32 gathers (parity mode).
+    planes_g = planes.astype(cdt)
 
     # Gather/merge per centroid (vector ops, cheap), but run MLP layer 1 as
     # ONE batched matmul over all ts*ns slot rows: on-chip ablation showed
@@ -303,7 +398,9 @@ def _sa_kernel(
         val_g = validf[g * nc : (g + 1) * nc]
         gidx = jnp.broadcast_to(pos_g, (p, nc, 128)).reshape(p * nc, 128)
         gmask = jnp.broadcast_to(val_g, (p, nc, 128)).reshape(p * nc, 128)
-        gat = jnp.take_along_axis(planes_f, gidx, axis=1) * gmask
+        gat = jnp.take_along_axis(planes_g, gidx, axis=1) * gmask
+        # Exactly one chunk owns each slot, so the chunk-sum is a select --
+        # exact in any dtype (all other addends are zero).
         merged_g = jnp.sum(gat.reshape(p, nc, 128), axis=1)  # [p, 128]
         raw_blocks.append(jnp.transpose(merged_g))        # [128 slots, p]
 
@@ -426,7 +523,6 @@ def sa_stage(
     planes = jnp.swapaxes(planes, 1, 2).reshape(b, p * nc, 128)
     w1p = w1 if p % 8 == 0 else jnp.pad(w1, ((0, (-p) % 8), (0, 0)))
     lt = _lt128()
-    bd = _bd_strict(tile_s, nc)
 
     grid = (b, s // tile_s)
     kernel = functools.partial(
@@ -461,10 +557,6 @@ def sa_stage(
             pl.BlockSpec(w3.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b3.shape[-1]), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (tile_s * nc, tile_s * nc), lambda i, j: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -484,6 +576,6 @@ def sa_stage(
         planes,
         centroids[..., 0:1], centroids[..., 1:2], centroids[..., 2:3],
         w1p, b1.reshape(1, -1), w2, b2.reshape(1, -1), w3, b3.reshape(1, -1),
-        lt, bd,
+        lt,
     )
     return feats[:, :s_in], idx[:, :s_in]

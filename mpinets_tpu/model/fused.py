@@ -60,7 +60,8 @@ def _mlp_params(tree):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "compute_dtype", "interpret", "sa_npoints", "sa_tiles", "fps_tile", "bf16_cloud"
+        "compute_dtype", "interpret", "sa_npoints", "sa_tiles", "fps_tile",
+        "bf16_cloud", "fps_impl",
     ),
 )
 def fused_policy_apply(
@@ -73,6 +74,7 @@ def fused_policy_apply(
     sa_tiles: tuple = (32, 32),
     fps_tile: int = 32,
     bf16_cloud: bool = False,
+    fps_impl: str = "v1",
 ) -> jnp.ndarray:
     """Delta-q prediction, numerically equivalent to ``model.apply``.
 
@@ -93,7 +95,8 @@ def fused_policy_apply(
     # ---- SA0: N -> 512 centroids, 64-dim features -------------------------
     (w1, b1), (w2, b2), (w3, b3) = _mlp_params(enc["sa0"]["mlp"])
     _, cent0 = pallas_ops.furthest_point_sample_with_coords(
-        xyz, sa_npoints[0], interpret=interpret, batch_tile=fps_tile
+        xyz, sa_npoints[0], interpret=interpret, batch_tile=fps_tile,
+        impl=fps_impl,
     )
     f0, _ = pallas_ops.sa_stage(
         xyz, feat, cent0, w1, b1, w2, b2, w3, b3,
@@ -104,7 +107,8 @@ def fused_policy_apply(
     # ---- SA1: 512 -> 128 centroids, 256-dim features ----------------------
     (w1, b1), (w2, b2), (w3, b3) = _mlp_params(enc["sa1"]["mlp"])
     _, cent1 = pallas_ops.furthest_point_sample_with_coords(
-        cent0, sa_npoints[1], interpret=interpret, batch_tile=fps_tile
+        cent0, sa_npoints[1], interpret=interpret, batch_tile=fps_tile,
+        impl=fps_impl,
     )
     f1, _ = pallas_ops.sa_stage(
         cent0, f0, cent1, w1, b1, w2, b2, w3, b3,
@@ -149,6 +153,7 @@ def make_fused_apply(
     sa_tiles: tuple = (32, 32),
     fps_tile: int = 32,
     bf16_cloud: bool = False,
+    fps_impl: str = "v1",
 ):
     """(variables, xyz, q) -> dq, matching the model.apply signature.
 
@@ -161,7 +166,7 @@ def make_fused_apply(
             variables, point_cloud, q_norm,
             compute_dtype=compute_dtype, interpret=interpret,
             sa_npoints=sa_npoints, sa_tiles=sa_tiles, fps_tile=fps_tile,
-            bf16_cloud=bf16_cloud,
+            bf16_cloud=bf16_cloud, fps_impl=fps_impl,
         )
 
     return apply

@@ -19,12 +19,13 @@ from mpinets_tpu.model.fused import make_fused_apply
 pytestmark = pytest.mark.slow  # interpret-mode Pallas is compile-heavy
 
 
-def test_fps_with_coords_matches_oracle():
+@pytest.mark.parametrize("impl", ["v1", "v2"])
+def test_fps_with_coords_matches_oracle(impl):
     key = jax.random.PRNGKey(0)
     xyz = jax.random.normal(key, (5, 384, 3))
     ref = pointnet.furthest_point_sample(xyz, 64)
     idx, coords = pallas_ops.furthest_point_sample_with_coords(
-        xyz, 64, interpret=True
+        xyz, 64, interpret=True, impl=impl
     )
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref))
     np.testing.assert_allclose(
