@@ -91,6 +91,9 @@ def main() -> None:
                         help="carry coordinates in bf16 through FPS")
     parser.add_argument("--fps-impl", default="v1", choices=("v1", "v2"),
                         help="Pallas FPS kernel variant")
+    parser.add_argument("--gather16", action="store_true",
+                        help="16-bit in-kernel SA gathers (bf16 data + i16 "
+                             "indices); requires Mosaic support")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="capture a jax profiler trace of one measured "
                              "rollout into DIR")
@@ -103,7 +106,8 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     params = model.init(rng, jnp.zeros((1, 6272, 4)), jnp.zeros((1, 7)))
     apply_fn = None if args.no_fused else make_fused_apply(
-        jnp.bfloat16, bf16_cloud=args.bf16_cloud, fps_impl=args.fps_impl
+        jnp.bfloat16, bf16_cloud=args.bf16_cloud, fps_impl=args.fps_impl,
+        gather16=args.gather16,
     )
 
     if args.profile:

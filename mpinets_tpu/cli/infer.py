@@ -72,9 +72,27 @@ def evaluate_problem_set(
     max_steps: int = MAX_ROLLOUT_LENGTH,
     model: MotionPolicyNetwork | None = None,
     use_depth: bool = False,
+    fused: bool | None = None,
 ) -> Evaluator:
     model = model or MotionPolicyNetwork(compute_dtype=jnp.bfloat16)
-    rollout = make_rollout_fn(model, max_steps=max_steps)
+    # Fast path by default on TPU: the Pallas fused forward
+    # (mpinets_tpu.model.fused) replaces the plain model.apply inside the
+    # rollout; on CPU backends Pallas is unavailable, so fall back to XLA.
+    if fused is None:
+        fused = jax.default_backend() not in ("cpu",)
+    apply_fn = None
+    if fused:
+        from mpinets_tpu.model.fused import make_fused_apply
+
+        apply_fn = make_fused_apply(
+            model.compute_dtype, sa_npoints=model.sa_npoints
+        )
+    print(
+        f"# rollout path: {'fused-pallas' if fused else 'xla'} "
+        f"({model.compute_dtype.__name__})",
+        flush=True,
+    )
+    rollout = make_rollout_fn(model, max_steps=max_steps, apply_fn=apply_fn)
     evaluator = Evaluator()
     rng = jax.random.PRNGKey(0)
 
@@ -142,6 +160,9 @@ def main(argv=None) -> None:
                         help="evaluate in fp32 instead of bf16")
     parser.add_argument("--use-depth", action="store_true",
                         help="policy consumes depth-rendered obstacle clouds")
+    parser.add_argument("--no-fused", action="store_true",
+                        help="force the plain-XLA model.apply rollout path "
+                             "(default: fused Pallas kernels on TPU)")
     args = parser.parse_args(argv)
 
     model = MotionPolicyNetwork(
@@ -152,7 +173,7 @@ def main(argv=None) -> None:
     evaluator = evaluate_problem_set(
         params, problem_set, args.scene_type, args.problem_type,
         batch_size=args.batch_size, max_problems=args.max_problems, model=model,
-        use_depth=args.use_depth,
+        use_depth=args.use_depth, fused=False if args.no_fused else None,
     )
     print("\n== overall ==")
     evaluator.print_overall_metrics()

@@ -79,12 +79,26 @@ class Planner:
     (``planning_node.py:78-151`` equivalent)."""
 
     def __init__(self, params, scan_xyz: np.ndarray,
-                 max_steps: int = MAX_ROLLOUT_LENGTH, model=None):
+                 max_steps: int = MAX_ROLLOUT_LENGTH, model=None,
+                 fused: bool | None = None):
         self.model = model or MotionPolicyNetwork(compute_dtype=jnp.bfloat16)
         self.params = params
         self.obstacle_points = clean_point_cloud(scan_xyz)
+        # Fused Pallas forward by default on TPU (plain XLA on CPU backends).
+        if fused is None:
+            fused = jax.default_backend() not in ("cpu",)
+        apply_fn = None
+        if fused:
+            from mpinets_tpu.model.fused import make_fused_apply
+
+            apply_fn = make_fused_apply(
+                self.model.compute_dtype, sa_npoints=self.model.sa_npoints
+            )
+        print(f"# rollout path: {'fused-pallas' if fused else 'xla'}",
+              file=sys.stderr, flush=True)
         self.rollout = make_rollout_fn(
-            self.model, max_steps=max_steps, stop_on_success=True
+            self.model, max_steps=max_steps, stop_on_success=True,
+            apply_fn=apply_fn,
         )
         self._key = jax.random.PRNGKey(0)
 
@@ -138,12 +152,15 @@ def main(argv=None) -> None:
     ap.add_argument("checkpoint")
     ap.add_argument("scan", help=".npy point cloud [N, 3] (or [N, >=3])")
     ap.add_argument("--max-steps", type=int, default=MAX_ROLLOUT_LENGTH)
+    ap.add_argument("--no-fused", action="store_true",
+                    help="force the plain-XLA rollout path")
     args = ap.parse_args(argv)
 
     model = MotionPolicyNetwork(compute_dtype=jnp.bfloat16)
     params = load_params(args.checkpoint, model)
     scan = np.load(args.scan)[:, :3]
-    planner = Planner(params, scan, max_steps=args.max_steps, model=model)
+    planner = Planner(params, scan, max_steps=args.max_steps, model=model,
+                      fused=False if args.no_fused else None)
     print("ready", file=sys.stderr, flush=True)
     serve(planner)
 

@@ -245,7 +245,8 @@ def furthest_point_sample(
 # * points are split into nc = N/128 "chunks" of 128 lanes; an in-ball mask
 #   per (centroid, chunk) row gives per-chunk inclusive counts via ONE
 #   matmul with a lower-triangular constant (MXU) and chunk offsets via a
-#   block-diagonal matmul -> cnt_global [TS*nc, 128], monotone per row.
+#   block-masked Hillis-Steele prefix scan -> cnt_global [TS*nc, 128],
+#   monotone per row.
 # * For every (chunk-row r, output slot j): the lane holding the point with
 #   global in-ball rank j+1 is #{l : cnt_global[r, l] <= j} -- found for all
 #   (r, j) at once with a 8-round lane-gather binary search.
@@ -284,6 +285,7 @@ def _sa_kernel(
     num_planes: int,
     compute_dtype,
     tile_s: int = _TS,
+    gather16: bool = False,
 ):
     ts = tile_s
     nc = num_chunks
@@ -337,25 +339,37 @@ def _sa_kernel(
 
     # ---- 3. slot inversion: lane of rank j+1 per (chunk-row, slot) --------
     # pos[r, j] = #{l : cnt[r, l] <= j}; 7-round binary search, all slots at
-    # once (j = lane). The search runs on bf16 cnt -- integer counts <= 128
-    # are bf16-exact and the half-width vregs double the lane-gather rate,
-    # which dominates this kernel. Slots with j >= count are garbage here and
-    # masked by `valid` below, so no 128-step round or overflow guard is
-    # needed (steps sum to 127, lo stays in [0, 127]).
+    # once (j = lane). Mosaic's dynamic_gather requires index and data
+    # bitwidths to MATCH, so the default search gathers f32 cnt with i32
+    # probes; gather16=True uses bf16 cnt with i16 probes (same 16-bit
+    # width — halves the lane-gather vreg traffic, which dominates this
+    # kernel). bf16 correctness invariant: probes only ever compare against
+    # j <= 127; cnt values <= 256 are bf16-exact and values > 256 round but
+    # stay > 127, so every `gathered <= j` compare is exact. Slots with
+    # j >= count are garbage here and masked by `valid` below, so no
+    # 128-step round or overflow guard is needed (steps sum to 127, lo
+    # stays in [0, 127]).
+    assert ns == 128, "bf16 slot-inversion invariant assumes nsample == 128"
     jlane = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 1)
     jf = jlane.astype(f32)
-    jb = jlane.astype(jnp.bfloat16)
-    cnt_b = cnt.astype(jnp.bfloat16)
+    if gather16:
+        jcmp = jlane.astype(jnp.bfloat16)
+        cnt_g = cnt.astype(jnp.bfloat16)
+        idx_dtype = jnp.int16
+    else:
+        jcmp = jf
+        cnt_g = cnt
+        idx_dtype = jnp.int32
     lo = jnp.zeros((rb, 128), jnp.int32)
     for step in (64, 32, 16, 8, 4, 2, 1):
-        probe = lo + (step - 1)
-        gathered = jnp.take_along_axis(cnt_b, probe, axis=1)
-        lo = jnp.where(gathered <= jb, lo + step, lo)
+        probe = (lo + (step - 1)).astype(idx_dtype)
+        gathered = jnp.take_along_axis(cnt_g, probe, axis=1)
+        lo = jnp.where(gathered <= jcmp, lo + step, lo)
     pos = lo                                             # [rb, 128]
 
     # ---- 4. per-chunk slot ownership masks ---------------------------------
     valid = (jf >= base_excl) & (jf < base_incl)         # [rb, 128]
-    validf = valid.astype(compute_dtype)
+    validf = valid.astype(jnp.bfloat16 if gather16 else f32)
 
     # merged indices [ts, 128]: sum over each centroid's nc chunk rows
     chunk_of = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 0) % nc
@@ -379,11 +393,15 @@ def _sa_kernel(
     j128 = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
     slot0 = j128 == 0
     pts0 = [planes[ch * nc, 0].astype(f32) for ch in range(p)]
-    # In the bf16 compute path the gathered raw block feeds a bf16 matmul,
-    # so gathering from pre-cast bf16 planes is bitwise identical to
-    # gather-then-cast while halving the lane-gather vreg traffic (the
-    # kernel's dominant cost). f32 compute keeps f32 gathers (parity mode).
-    planes_g = planes.astype(cdt)
+    # Channel gathers obey the same Mosaic bitwidth rule: by default the
+    # table is f32 (upcast once if the input planes are bf16) with i32
+    # indices; gather16=True gathers pre-cast bf16 planes with i16 indices.
+    # Pre-cast-then-gather is bitwise identical to gather-then-cast here
+    # because the gathered block feeds a bf16 matmul either way.
+    if gather16:
+        planes_g = planes.astype(jnp.bfloat16)
+    else:
+        planes_g = planes.astype(f32)
 
     # Gather/merge per centroid (vector ops, cheap), but run MLP layer 1 as
     # ONE batched matmul over all ts*ns slot rows: on-chip ablation showed
@@ -394,7 +412,7 @@ def _sa_kernel(
     fix_blocks = []
     vmask_parts = []
     for g in range(ts):
-        pos_g = pos[g * nc : (g + 1) * nc]                # [nc, 128]
+        pos_g = pos[g * nc : (g + 1) * nc].astype(idx_dtype)  # [nc, 128]
         val_g = validf[g * nc : (g + 1) * nc]
         gidx = jnp.broadcast_to(pos_g, (p, nc, 128)).reshape(p * nc, 128)
         gmask = jnp.broadcast_to(val_g, (p, nc, 128)).reshape(p * nc, 128)
@@ -460,18 +478,11 @@ def _lt128() -> jnp.ndarray:
     return (i <= j).astype(jnp.bfloat16)  # column j counts lanes <= j
 
 
-def _bd_strict(ts: int, nc: int) -> jnp.ndarray:
-    rb = ts * nc
-    i = jax.lax.broadcasted_iota(jnp.int32, (rb, rb), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (rb, rb), 1)
-    same_block = (i // nc) == (j // nc)
-    return (same_block & (j < i)).astype(jnp.float32)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "radius", "nsample", "compute_dtype", "interpret", "tile_s"
+        "radius", "nsample", "compute_dtype", "interpret", "tile_s",
+        "gather16",
     ),
 )
 def sa_stage(
@@ -486,8 +497,13 @@ def sa_stage(
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
     tile_s: int = _TS,
+    gather16: bool = False,
 ):
     """Fused SA stage. Returns (features [B, S, C3] f32, idx [B, S, nsample]).
+
+    ``gather16=True`` runs the in-kernel lane gathers on 16-bit data with
+    int16 indices (Mosaic requires matching index/data bitwidths); it is a
+    perf mode that must be validated by the on-chip compile gate before use.
 
     Equivalent to ball_query + query_and_group + SharedMLP + max-pool with
     pointnet2_ops CUDA semantics: the selected SET matches the CUDA
@@ -533,6 +549,7 @@ def sa_stage(
         num_planes=p,
         compute_dtype=compute_dtype,
         tile_s=tile_s,
+        gather16=gather16,
     )
     feats, idx = pl.pallas_call(
         kernel,

@@ -33,11 +33,30 @@ def make_validation_fn(
     model,
     rollout_length: int = 69,
     sizes: PointCloudSizes = PointCloudSizes(),
+    fused: bool | None = None,
 ) -> Callable[..., Dict[str, jnp.ndarray]]:
     """(params, problem_batch, key) -> {avg_target_error,
-    avg_collision_rate} as device scalars."""
+    avg_collision_rate} as device scalars.
+
+    ``fused=None`` selects the Pallas fused forward automatically on TPU
+    backends (full reference shapes only); CPU and reduced-shape runs use
+    the plain-XLA path.
+    """
+    if fused is None:
+        fused = (
+            jax.default_backend() not in ("cpu",)
+            and sizes.total % 128 == 0
+        )
+    apply_fn = None
+    if fused:
+        from mpinets_tpu.model.fused import make_fused_apply
+
+        apply_fn = make_fused_apply(
+            model.compute_dtype, sa_npoints=model.sa_npoints
+        )
     rollout = make_rollout_fn(
-        model, max_steps=rollout_length, sizes=sizes, stop_on_success=False
+        model, max_steps=rollout_length, sizes=sizes, stop_on_success=False,
+        apply_fn=apply_fn,
     )
 
     @jax.jit

@@ -75,6 +75,32 @@ def test_sa_stage_matches_oracle(radius):
     )
 
 
+def test_sa_stage_gather16_matches_gather32():
+    """gather16 (bf16 tables + i16 indices) must be bitwise identical to the
+    default 32-bit gathers under bf16 compute: cast-then-gather equals
+    gather-then-cast, and the bf16 slot-inversion invariant holds."""
+    key = jax.random.PRNGKey(2)
+    B, N, S, NS, C1 = 2, 384, 16, 128, 32
+    xyz = jax.random.uniform(key, (B, N, 3), minval=-0.6, maxval=0.6)
+    feat = jax.random.uniform(jax.random.fold_in(key, 1), (B, N, 2))
+    cent = xyz[:, :S]
+    mk = lambda i, s: jax.random.normal(jax.random.fold_in(key, i), s) * 0.2
+    w1, b1 = mk(2, (5, C1)), mk(3, (C1,))
+    w2, b2 = mk(4, (C1, 32)), mk(5, (32,))
+    w3, b3 = mk(6, (32, 48)), mk(7, (48,))
+    args = (xyz, feat, cent, w1, b1, w2, b2, w3, b3)
+    f32_out = pallas_ops.sa_stage(
+        *args, radius=0.3, nsample=NS,
+        compute_dtype=jnp.bfloat16, interpret=True, gather16=False,
+    )
+    b16_out = pallas_ops.sa_stage(
+        *args, radius=0.3, nsample=NS,
+        compute_dtype=jnp.bfloat16, interpret=True, gather16=True,
+    )
+    np.testing.assert_array_equal(np.asarray(f32_out[0]), np.asarray(b16_out[0]))
+    np.testing.assert_array_equal(np.asarray(f32_out[1]), np.asarray(b16_out[1]))
+
+
 def test_fused_forward_matches_flax():
     """Full fused forward (reduced centroid counts, full radii/nsample) must
     equal model.apply from the same parameter tree in fp32."""
