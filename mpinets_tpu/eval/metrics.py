@@ -8,10 +8,15 @@ a whole batch of trajectories is checked in ONE jitted computation:
   scene SDF (the reference's own training-time collision signal,
   ``mpinets/model.py:293-314``; its *eval*-time signal is PyBullet hd AND ld
   mesh checks, ``metrics.py:270-291`` -- the sphere model is slightly
-  conservative; calibrated in :mod:`mpinets_tpu.eval.calibration` against a
-  dense mesh-surface proxy over 2048 random scene/config pairs: recall 1.00
-  (no surface collision missed), precision 0.986 (0.3% conservative false
-  alarms), 99.7% agreement),
+  conservative; calibrated in :mod:`mpinets_tpu.eval.calibration` against an
+  INDEPENDENT proxy (arm capsules off the URDF joint-origin chain + surface
+  samples of the real half_open_gripper.stl mesh,
+  :mod:`mpinets_tpu.eval.hull_proxy`) over 1024 random scene/config pairs
+  at a 0.9/1.0/1.1 capsule-inflate envelope: recall 0.96-0.98 (a few
+  thin-feature contacts slip between spheres), precision 0.86-0.90
+  (conservative false alarms), ~97% agreement. The earlier recall-1.00 claim
+  came from a proxy derived from the sphere model itself and overstated
+  coverage),
 * collision depths (sphere penetration, ``metrics.py:293-311`` equivalent),
 * self-collision via the sphere pair table (``metrics.py:255-268``),
 * joint limits (``metrics.py:311-322``),

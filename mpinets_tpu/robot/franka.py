@@ -135,10 +135,18 @@ HAND_OFFSET = _origin((0.0, 0.0, 0.0), (0.0, 0.0, -math.pi / 4.0))
 #: y = finger-opening axis, z = approach axis) force right_gripper y to be
 #: parallel to panda_hand y and z to hand z, i.e. the frame equals the hand
 #: frame up to a z-rotation of 0 or pi -- a net link8 yaw of -pi/4 or +3pi/4.
-#: We use +3pi/4. RESIDUAL PARITY RISK: the pi flip is unresolvable without
-#: robofin's URDF or a published problem fixture (one FK evaluation against a
-#: hindsight-revised target in the Zenodo problem sets would settle it);
-#: flipping it means swapping this constant's yaw to -pi/4.
+#: We use +3pi/4. RESIDUAL PARITY RISK: the pi flip is unresolvable with the
+#: artifacts in this environment. Investigated (r3): the one shipped mesh,
+#: ``interactive_demo/mpinets_ros/meshes/half_open_gripper.stl``, IS in the
+#: right_gripper frame (z=0 at the fingertip pads, body in -z, finger spread
+#: along y) and is measurably asymmetric -- the hand body bulges toward
+#: +y_rg (triangle-centroid mean y = +0.036 over z in [-0.13,-0.06]; fingers
+#: and fingertips are exactly symmetric) -- so the flip IS observable the
+#: moment a franka_description hand mesh (hand-frame geometry) is available
+#: to locate that bulge, or via one FK evaluation against a
+#: hindsight-revised target in the Zenodo problem sets. The 57-sphere table
+#: is y-symmetric at the hand and cannot settle it. Flipping means swapping
+#: this constant's yaw to -pi/4.
 RIGHT_GRIPPER_OFFSET = _origin((0.0, 0.0, 0.1), (0.0, 0.0, 3.0 * math.pi / 4.0))
 #: Finger mount point on the hand (franka_description hand URDF).
 FINGER_MOUNT_Z = 0.0584
