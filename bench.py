@@ -91,6 +91,8 @@ def main() -> None:
                         help="carry coordinates in bf16 through FPS")
     parser.add_argument("--fps-impl", default="v1", choices=("v1", "v2"),
                         help="Pallas FPS kernel variant")
+    parser.add_argument("--sa-impl", default="v3", choices=("v3", "v5"),
+                        help="fused SA kernel variant")
     parser.add_argument("--gather16", action="store_true",
                         help="16-bit in-kernel SA gathers (bf16 data + i16 "
                              "indices); requires Mosaic support")
@@ -107,7 +109,7 @@ def main() -> None:
     params = model.init(rng, jnp.zeros((1, 6272, 4)), jnp.zeros((1, 7)))
     apply_fn = None if args.no_fused else make_fused_apply(
         jnp.bfloat16, bf16_cloud=args.bf16_cloud, fps_impl=args.fps_impl,
-        gather16=args.gather16,
+        gather16=args.gather16, sa_impl=args.sa_impl,
     )
 
     if args.profile:

@@ -472,6 +472,181 @@ def _sa_kernel(
     idx_ref[0] = jnp.where(kj.astype(f32) < totals, merged_idx, fill)
 
 
+def _sa_kernel_v5(
+    pts_ref,     # [1, P*NC, 128] channel planes (x, y, z, feat...) chunked
+    ct_ref,      # [1, 3, TS] centroid coords, channel-major
+    w1t_ref,     # [C1, P8] transposed layer weights
+    b1t_ref,     # [C1, 1]
+    w2t_ref,     # [C2, C1]
+    b2t_ref,     # [C2, 1]
+    w3t_ref,     # [C3, C2]
+    b3t_ref,     # [C3, 1]
+    lt_ref,      # [128, 128] lower-triangular ones (bf16)
+    out_ref,     # [1, C3, TS]  (channel-major; wrapper transposes)
+    idx_ref,     # [1, TS, ns] selected indices (int32)
+    *,
+    radius: float,
+    nsample: int,
+    num_chunks: int,
+    num_planes: int,
+    compute_dtype,
+    tile_s: int,
+):
+    """Lane-layout SA kernel (v5).
+
+    Differences vs :func:`_sa_kernel` (v3), same semantics:
+
+    * Slots live in LANES for the whole MLP: per-centroid merged blocks
+      [p, 128] are lane-concatenated into ``raw_lanes [p, ts*128]`` and the
+      MLP runs transposed (``W^T @ X``), eliminating v3's per-centroid
+      [p,128]->[128,p] transposes, sublane-concat relayouts, and the skinny
+      [ts*ns, p] layer-1 matmul.
+    * Per-centroid scalars (recentring bias, count fix, valid mask) are
+      expanded to lanes with one constant one-hot matmul (``E [ts,
+      ts*128]``) instead of per-centroid broadcast blocks.
+    * Binary-search rounds probing 1-2 distinct columns use static slices +
+      selects instead of dynamic gathers (the probe of round k ranges over
+      2^(k-1) values), cutting the dominant gather traffic by 2/7.
+    * ``in_ball`` is computed chunk-wise in bf16 without materializing an
+      f32 d2 array.
+    """
+    ts = tile_s
+    nc = num_chunks
+    ns = nsample
+    p = num_planes
+    rb = ts * nc
+    f32 = jnp.float32
+    cdt = compute_dtype
+
+    cent = ct_ref[0].astype(f32)            # [3, ts]
+    cxs = [cent[0, g] for g in range(ts)]
+    cys = [cent[1, g] for g in range(ts)]
+    czs = [cent[2, g] for g in range(ts)]
+
+    planes = pts_ref[0]                     # [p*nc, 128]
+    x = planes[0 * nc : 1 * nc].astype(f32)
+    y = planes[1 * nc : 2 * nc].astype(f32)
+    z = planes[2 * nc : 3 * nc].astype(f32)
+
+    # ---- 1. in-ball mask per chunk-row, [rb, 128] bf16 --------------------
+    r2 = radius * radius
+    parts = []
+    for g in range(ts):
+        dx = x - cxs[g]
+        dy = y - cys[g]
+        dz = z - czs[g]
+        parts.append((dx * dx + dy * dy + dz * dz < r2).astype(jnp.bfloat16))
+    in_ball = jnp.concatenate(parts, axis=0)             # [rb, 128]
+
+    # ---- 2. inclusive counts (MXU) + chunk offsets (masked roll-scan) -----
+    local_cnt = jnp.dot(in_ball, lt_ref[:], preferred_element_type=f32)
+    tot = local_cnt[:, 127:128]                          # [rb, 1]
+    pos_ib = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0) % nc
+    psum = tot
+    step = 1
+    while step < nc:
+        shifted = pltpu.roll(psum, step, 0)
+        psum = psum + jnp.where(pos_ib >= step, shifted, 0.0)
+        step *= 2
+    base_excl = psum - tot
+    base_incl = psum
+    cnt = local_cnt + base_excl                          # [rb, 128] monotone
+
+    # ---- 3. slot inversion: rounds 1-2 by slice-select, 3-7 by gather -----
+    jlane = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 1)
+    jf = jlane.astype(f32)
+    c63 = cnt[:, 63:64]
+    lo = jnp.where(c63 <= jf, 64, 0)
+    c31 = cnt[:, 31:32]
+    c95 = cnt[:, 95:96]
+    g2 = jnp.where(lo > 0, c95, c31)
+    lo = jnp.where(g2 <= jf, lo + 32, lo)
+    for step in (16, 8, 4, 2, 1):
+        probe = lo + (step - 1)
+        gathered = jnp.take_along_axis(cnt, probe, axis=1)
+        lo = jnp.where(gathered <= jf, lo + step, lo)
+    pos = lo                                             # [rb, 128]
+
+    # ---- 4. ownership masks + merged indices ------------------------------
+    valid = (jf >= base_excl) & (jf < base_incl)
+    validf = valid.astype(f32)
+    chunk_of = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 0) % nc
+    sel_contrib = (chunk_of * 128 + pos) * valid.astype(jnp.int32)
+    merged_idx = jnp.sum(sel_contrib.reshape(ts, nc, 128), axis=1)  # [ts,128]
+    totals = jnp.sum(tot.reshape(ts, nc, 1), axis=1)     # [ts, 1]
+
+    # ---- 5. gather channels per centroid, lane-concat ---------------------
+    planes_g = planes.astype(f32)
+    blocks = []
+    for g in range(ts):
+        pos_g = pos[g * nc : (g + 1) * nc]
+        val_g = validf[g * nc : (g + 1) * nc]
+        gidx = jnp.broadcast_to(pos_g, (p, nc, 128)).reshape(p * nc, 128)
+        gmask = jnp.broadcast_to(val_g, (p, nc, 128)).reshape(p * nc, 128)
+        gat = jnp.take_along_axis(planes_g, gidx, axis=1) * gmask
+        blocks.append(jnp.sum(gat.reshape(p, nc, 128), axis=1))  # [p, 128]
+    raw_lanes = jnp.concatenate(blocks, axis=1)          # [p, ts*128]
+
+    # ---- 6. per-centroid lane expansion (one-hot matmul) ------------------
+    w1t = w1t_ref[:, :p].astype(cdt)
+    w1tf = w1t_ref[:, :p].astype(f32)
+    c1 = w1t.shape[0]
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, (ts, ts * ns), 1) // ns
+    sub_g = jax.lax.broadcasted_iota(jnp.int32, (ts, ts * ns), 0)
+    # f32 so the expansion is an exact select (one nonzero per column);
+    # tiny flops (c1 x ts x ts*128 per grid step).
+    e = (lane_g == sub_g).astype(f32)                    # [ts, ts*128]
+    bc_cols = jnp.dot(
+        w1tf[:, :3], cent, preferred_element_type=f32
+    )                                                    # [c1, ts]
+    pts0 = jnp.stack(
+        [planes[ch * nc, 0].astype(f32) for ch in range(p)]
+    ).reshape(p, 1)
+    h0_cols = (
+        jnp.dot(w1tf, pts0, preferred_element_type=f32)
+        + b1t_ref[:].astype(f32)
+        - bc_cols
+    )                                                    # [c1, ts]
+    totals_row = jnp.transpose(totals)                   # [1, ts]
+    exp = lambda cols: jnp.dot(cols, e, preferred_element_type=f32)
+    bc_lanes = exp(bc_cols)                              # [c1, ts*128]
+    h0_lanes = exp(h0_cols)
+    totals_lanes = exp(totals_row)                       # [1, ts*128]
+    slot_lane = jax.lax.broadcasted_iota(jnp.int32, (1, ts * ns), 1) % ns
+    fix_mask = (totals_lanes < 0.5) & (slot_lane == 0)
+    vmask = slot_lane.astype(f32) < jnp.maximum(totals_lanes, 1.0)
+
+    # ---- 7. transposed MLP + masked lane-window max-pool ------------------
+    h1 = (
+        jnp.dot(w1t, raw_lanes.astype(cdt), preferred_element_type=f32)
+        + b1t_ref[:].astype(f32)
+        - bc_lanes
+    )
+    h1 = jnp.where(fix_mask, h0_lanes, h1)
+    h = jnp.maximum(h1, 0).astype(cdt)
+    h = jnp.maximum(
+        jnp.dot(w2t_ref[:].astype(cdt), h, preferred_element_type=f32)
+        + b2t_ref[:].astype(f32),
+        0,
+    ).astype(cdt)
+    h = jnp.maximum(
+        jnp.dot(w3t_ref[:].astype(cdt), h, preferred_element_type=f32)
+        + b3t_ref[:].astype(f32),
+        0,
+    )                                                    # [c3, ts*128] f32
+    h = jnp.where(vmask, h, -jnp.inf)
+    pools = [
+        jnp.max(h[:, g * ns : (g + 1) * ns], axis=1, keepdims=True)
+        for g in range(ts)
+    ]
+    out_ref[0] = jnp.concatenate(pools, axis=1).astype(out_ref.dtype)
+
+    # ---- 8. reference fill-with-first on the index output -----------------
+    fill = jnp.where(totals >= 1.0, merged_idx[:, 0:1], 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (ts, ns), 1)
+    idx_ref[0] = jnp.where(kj.astype(f32) < totals, merged_idx, fill)
+
+
 def _lt128() -> jnp.ndarray:
     i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
@@ -482,7 +657,7 @@ def _lt128() -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "radius", "nsample", "compute_dtype", "interpret", "tile_s",
-        "gather16",
+        "gather16", "impl",
     ),
 )
 def sa_stage(
@@ -498,8 +673,12 @@ def sa_stage(
     interpret: bool = False,
     tile_s: int = _TS,
     gather16: bool = False,
+    impl: str = "v3",
 ):
     """Fused SA stage. Returns (features [B, S, C3] f32, idx [B, S, nsample]).
+
+    ``impl="v5"`` selects the lane-layout kernel (:func:`_sa_kernel_v5`),
+    numerically equivalent; ``gather16`` applies to v3 only.
 
     ``gather16=True`` runs the in-kernel lane gathers on 16-bit data with
     int16 indices (Mosaic requires matching index/data bitwidths); it is a
@@ -539,6 +718,53 @@ def sa_stage(
     planes = jnp.swapaxes(planes, 1, 2).reshape(b, p * nc, 128)
     w1p = w1 if p % 8 == 0 else jnp.pad(w1, ((0, (-p) % 8), (0, 0)))
     lt = _lt128()
+
+    if impl == "v5":
+        grid = (b, s // tile_s)
+        kernel = functools.partial(
+            _sa_kernel_v5,
+            radius=radius,
+            nsample=nsample,
+            num_chunks=nc,
+            num_planes=p,
+            compute_dtype=compute_dtype,
+            tile_s=tile_s,
+        )
+        cent_t = jnp.swapaxes(centroids, 1, 2)            # [B, 3, S]
+        wspec = lambda a: pl.BlockSpec(
+            a.shape, lambda i, j: (0,) * a.ndim, memory_space=pltpu.VMEM
+        )
+        feats_t, idx = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, p * nc, 128), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, tile_s), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                wspec(w1p.T), wspec(b1.reshape(-1, 1)),
+                wspec(w2.T), wspec(b2.reshape(-1, 1)),
+                wspec(w3.T), wspec(b3.reshape(-1, 1)),
+                pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, c3, tile_s), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_s, nsample), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, c3, s), jnp.float32),
+                jax.ShapeDtypeStruct((b, s, nsample), jnp.int32),
+            ),
+            interpret=interpret,
+        )(
+            planes, cent_t,
+            w1p.T, b1.reshape(-1, 1), w2.T, b2.reshape(-1, 1),
+            w3.T, b3.reshape(-1, 1), lt,
+        )
+        return jnp.swapaxes(feats_t, 1, 2)[:, :s_in], idx[:, :s_in]
 
     grid = (b, s // tile_s)
     kernel = functools.partial(

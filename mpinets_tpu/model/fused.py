@@ -61,7 +61,7 @@ def _mlp_params(tree):
     jax.jit,
     static_argnames=(
         "compute_dtype", "interpret", "sa_npoints", "sa_tiles", "fps_tile",
-        "bf16_cloud", "fps_impl", "gather16",
+        "bf16_cloud", "fps_impl", "gather16", "sa_impl",
     ),
 )
 def fused_policy_apply(
@@ -76,6 +76,7 @@ def fused_policy_apply(
     bf16_cloud: bool = False,
     fps_impl: str = "v1",
     gather16: bool = False,
+    sa_impl: str = "v3",
 ) -> jnp.ndarray:
     """Delta-q prediction, numerically equivalent to ``model.apply``.
 
@@ -103,7 +104,7 @@ def fused_policy_apply(
         xyz, feat, cent0, w1, b1, w2, b2, w3, b3,
         radius=SA0["radius"], nsample=SA0["nsample"],
         compute_dtype=cdt, interpret=interpret, tile_s=sa_tiles[0],
-        gather16=gather16,
+        gather16=gather16, impl=sa_impl,
     )
 
     # ---- SA1: 512 -> 128 centroids, 256-dim features ----------------------
@@ -116,7 +117,7 @@ def fused_policy_apply(
         cent0, f0, cent1, w1, b1, w2, b2, w3, b3,
         radius=SA1["radius"], nsample=SA1["nsample"],
         compute_dtype=cdt, interpret=interpret, tile_s=sa_tiles[1],
-        gather16=gather16,
+        gather16=gather16, impl=sa_impl,
     )
 
     # ---- global SA (group all, xyz NOT recentred) + FC head ---------------
@@ -158,6 +159,7 @@ def make_fused_apply(
     bf16_cloud: bool = False,
     fps_impl: str = "v1",
     gather16: bool = False,
+    sa_impl: str = "v3",
 ):
     """(variables, xyz, q) -> dq, matching the model.apply signature.
 
@@ -171,6 +173,7 @@ def make_fused_apply(
             compute_dtype=compute_dtype, interpret=interpret,
             sa_npoints=sa_npoints, sa_tiles=sa_tiles, fps_tile=fps_tile,
             bf16_cloud=bf16_cloud, fps_impl=fps_impl, gather16=gather16,
+            sa_impl=sa_impl,
         )
 
     return apply

@@ -90,6 +90,27 @@ try:
 except Exception:
     emit(kind="parity", name="sa_EXC", err=traceback.format_exc()[-600:])
 
+# ------------------------------------------------- v5 kernel: parity + time
+try:
+    S, NS, C1 = 16, 128, 32
+    cent = xyz[:, :S]
+    mk = lambda i, s: jax.random.normal(jax.random.fold_in(key, i), s) * 0.2
+    w1, b1 = mk(2, (4, C1)), mk(3, (C1,))
+    w2, b2 = mk(4, (C1, 32)), mk(5, (32,))
+    w3, b3 = mk(6, (32, 48)), mk(7, (48,))
+    for radius in (0.05, 0.3):
+        a_f, a_i = pallas_ops.sa_stage(
+            xyz, feat, cent, w1, b1, w2, b2, w3, b3,
+            radius=radius, nsample=NS, compute_dtype=jnp.float32, impl="v3")
+        b_f, b_i = pallas_ops.sa_stage(
+            xyz, feat, cent, w1, b1, w2, b2, w3, b3,
+            radius=radius, nsample=NS, compute_dtype=jnp.float32, impl="v5")
+        emit(kind="parity", name=f"v5_vs_v3_r{radius}",
+             feat_err=float(np.abs(np.asarray(a_f) - np.asarray(b_f)).max()),
+             idx_equal=bool((np.asarray(a_i) == np.asarray(b_i)).all()))
+except Exception:
+    emit(kind="parity", name="v5_EXC", err=traceback.format_exc()[-600:])
+
 # ------------------------------------------------- SA0 stage ablation
 # Debug kernels: copies of _sa_kernel truncated after each stage, with a
 # cheap reduction written to out so nothing is DCE'd.
@@ -258,5 +279,36 @@ for stop in (1, 2, 3, 4, 5):
     diff_time(f"sa0_abl_stop{stop}", lambda k, s=stop: abl_loop(k, s))
 diff_time("sa0_abl_stop1_fused_inball",
           lambda k: abl_loop(k, 1, fuse=True))
+
+
+# ------------------------------------------------- v5 full-shape timings
+def sa_loop_v5(k, n_pts, s_cent, c_feat, ts, radius):
+    kk = jax.random.fold_in(kb, n_pts)
+    xyzl = jax.random.uniform(kk, (BB, n_pts, 3), minval=-0.8, maxval=0.8)
+    featl = jax.random.normal(jax.random.fold_in(kk, 1), (BB, n_pts, c_feat))
+    centl = xyzl[:, :s_cent]
+    c1 = 64 if c_feat < 8 else 128
+    mk = lambda i, s: jax.random.normal(jax.random.fold_in(kk, 10 + i), s) * 0.2
+    w1, b1 = mk(0, (3 + c_feat, c1)), mk(1, (c1,))
+    w2, b2 = mk(2, (c1, c1)), mk(3, (c1,))
+    w3, b3 = mk(4, (c1, c1)), mk(5, (c1,))
+
+    @jax.jit
+    def run():
+        def body(i, acc):
+            f, _ = pallas_ops.sa_stage(
+                xyzl + i * 1e-6, featl, centl, w1, b1, w2, b2, w3, b3,
+                radius=radius, nsample=128, compute_dtype=jnp.bfloat16,
+                tile_s=ts, impl="v5",
+            )
+            return acc + jnp.sum(f)
+        return jax.lax.fori_loop(0, k, body, 0.0)
+    return run
+
+
+for ts in (16, 32):
+    diff_time(f"sa0_v5_ts{ts}",
+              lambda k, t=ts: sa_loop_v5(k, 6272, 512, 1, t, 0.05))
+diff_time("sa1_v5_ts32", lambda k: sa_loop_v5(k, 512, 128, 64, 32, 0.3))
 
 emit(kind="done", t=time.strftime("%H:%M:%S"))

@@ -36,7 +36,8 @@ def test_fps_with_coords_matches_oracle(impl):
 
 
 @pytest.mark.parametrize("radius", [0.02, 0.3, 0.9])
-def test_sa_stage_matches_oracle(radius):
+@pytest.mark.parametrize("impl", ["v3", "v5"])
+def test_sa_stage_matches_oracle(radius, impl):
     key = jax.random.PRNGKey(1)
     B, N, S, NS, C1 = 2, 384, 16, 128, 32
     xyz = jax.random.uniform(key, (B, N, 3), minval=-0.6, maxval=0.6)
@@ -63,7 +64,7 @@ def test_sa_stage_matches_oracle(radius):
     feats, idx = pallas_ops.sa_stage(
         xyz, feat, cent, w1, b1, w2, b2, w3, b3,
         radius=radius, nsample=NS,
-        compute_dtype=jnp.float32, interpret=True,
+        compute_dtype=jnp.float32, interpret=True, impl=impl,
     )
     for b in range(B):
         for s in range(S):
@@ -101,7 +102,8 @@ def test_sa_stage_gather16_matches_gather32():
     np.testing.assert_array_equal(np.asarray(f32_out[1]), np.asarray(b16_out[1]))
 
 
-def test_fused_forward_matches_flax():
+@pytest.mark.parametrize("sa_impl", ["v3", "v5"])
+def test_fused_forward_matches_flax(sa_impl):
     """Full fused forward (reduced centroid counts, full radii/nsample) must
     equal model.apply from the same parameter tree in fp32."""
     npoints = (16, 8)
@@ -120,7 +122,8 @@ def test_fused_forward_matches_flax():
     variables = model.init(jax.random.fold_in(key, 2), pc, q)
     ref = model.apply(variables, pc, q)
     fused = make_fused_apply(
-        compute_dtype=jnp.float32, interpret=True, sa_npoints=npoints
+        compute_dtype=jnp.float32, interpret=True, sa_npoints=npoints,
+        sa_impl=sa_impl,
     )(variables, pc, q)
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(ref), atol=2e-5, rtol=1e-4
