@@ -2,179 +2,311 @@
 
 Behavioral equivalent of the reference's ``CubbyEnvironment`` /
 ``MergedCubbyEnvironment``
-(``/root/reference/mpinets/data_pipeline/environments/cubby_environment.py:45-705``):
-a parametric 2x2 shelf assembly in front of the robot (randomized extents,
-wall thicknesses, and a yaw of up to ±10°), per-pocket interior support
-volumes, and candidate poses inside the pockets with downward-pointing
-grippers solved by the batched collision-free IK. The merged variant removes
-the divider between two vertically-adjacent pockets
-(``cubby_environment.py:660-704``).
+(``/root/reference/mpinets/data_pipeline/environments/cubby_environment.py:45-705``),
+matching its parameter distributions (r3, VERDICT #7):
+
+* Geometry (``cubby_environment.py:57-122``, ``radius_sample(c, r)`` =
+  U(c-r, c+r)): left U(0.6, 0.8), right U(-0.8, -0.6), bottom U(0.1, 0.3),
+  front U(0.45, 0.65), back = front + U(0.15, 0.55), top U(0.6, 0.8),
+  middle shelf z U(0.35, 0.55), center wall y U(-0.1, 0.1), thickness
+  U(0.01, 0.03), and a yaw of U(-10°, 10°) applied about the CABINET
+  CENTER (``rotation_matrix``, ``cubby_environment.py:77-122``).
+* Panels (``_unrotated_cuboids``, ``:124-264``): back wall, bottom/top
+  shelves, side walls, center wall (dropped when its thickness is zeroed),
+  middle shelf (likewise).
+* Four pockets indexed so {0,1} share a z level and {0,2} share a y side;
+  ``MergedCubbyEnvironment`` zeroes the middle shelf when start/target are
+  vertically separated and the center wall when horizontally separated
+  (``cubby_environment.py:660-704``), then reassigns supports.
+* Candidates (``random_pose_and_config``, ``:505-549``): positions sampled
+  in a pocket's support volume; approach axis z = [cosθ, sinθ, 0] with
+  θ ~ U(-π/4, π/4) (into the open front), finger axis x = [0, 0, -1];
+  solved by the batched collision-free IK.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
-from mpinets_tpu.envs.base import Environment, pose_from_xz_axes
-from mpinets_tpu.types import Cuboid, Pose
+from mpinets_tpu.envs.base import (
+    Environment,
+    TaskOrientedCandidate,
+    pose_from_xz_axes,
+)
+from mpinets_tpu.types import Cuboid, Pose, matrix_to_quat_np
 
-MAX_YAW = np.radians(10.0)  # cubby_environment.py:57-122
+MAX_YAW = np.pi / 18.0  # cubby_environment.py:71
+
+
+def _u(rng, center, radius):
+    """radius_sample (base_environment.py)."""
+    return float(rng.uniform(center - radius, center + radius))
 
 
 @dataclasses.dataclass
 class CubbyParams:
-    """Randomized cubby geometry (local frame: +x away from robot)."""
+    """The reference's native cubby parameters (cubby_environment.py:62-72)."""
 
-    distance: float      # robot -> front face
-    width: float         # total y extent
-    height: float        # total z extent of the pocket region
-    depth: float         # pocket depth (x)
-    bottom: float        # z of the pocket region's bottom
-    thickness: float     # wall thickness
-    yaw: float           # rotation about world z
+    left: float
+    right: float
+    bottom: float
+    front: float
+    back: float
+    top: float
+    mid_h_z: float
+    mid_v_y: float
+    thickness: float
+    rotation: float
+    #: zeroed by MergedCubbyEnvironment (cubby_environment.py:682-686)
+    middle_shelf_thickness: float = None  # type: ignore[assignment]
+    center_wall_thickness: float = None   # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.middle_shelf_thickness is None:
+            self.middle_shelf_thickness = self.thickness
+        if self.center_wall_thickness is None:
+            self.center_wall_thickness = self.thickness
 
     @classmethod
     def random(cls, rng: np.random.Generator) -> "CubbyParams":
+        front = _u(rng, 0.55, 0.1)
         return cls(
-            distance=rng.uniform(0.55, 0.8),
-            width=rng.uniform(0.55, 0.85),
-            height=rng.uniform(0.45, 0.7),
-            depth=rng.uniform(0.25, 0.4),
-            bottom=rng.uniform(0.1, 0.35),
-            thickness=rng.uniform(0.01, 0.03),
-            yaw=rng.uniform(-MAX_YAW, MAX_YAW),
+            left=_u(rng, 0.7, 0.1),
+            right=_u(rng, -0.7, 0.1),
+            bottom=_u(rng, 0.2, 0.1),
+            front=front,
+            back=front + _u(rng, 0.35, 0.2),
+            top=_u(rng, 0.7, 0.1),
+            mid_h_z=_u(rng, 0.45, 0.1),
+            mid_v_y=_u(rng, 0.0, 0.1),
+            thickness=_u(rng, 0.02, 0.01),
+            rotation=_u(rng, 0.0, MAX_YAW),
         )
 
+    @property
+    def center(self) -> np.ndarray:
+        return np.array(
+            [
+                (self.front + self.back) / 2,
+                (self.left + self.right) / 2,
+                (self.top + self.bottom) / 2,
+            ]
+        )
 
-def _rot_z(yaw: float) -> np.ndarray:
-    c, s = np.cos(yaw), np.sin(yaw)
-    return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    def world_point(self, local: np.ndarray) -> np.ndarray:
+        """Rotate a point about the cabinet-center yaw pivot
+        (cubby_environment.py:77-122)."""
+        c, s = np.cos(self.rotation), np.sin(self.rotation)
+        rot = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        pc = self.center
+        return pc + rot @ (np.asarray(local) - pc)
 
-
-def _yaw_quat(yaw: float) -> list:
-    return [float(np.cos(yaw / 2)), 0.0, 0.0, float(np.sin(yaw / 2))]
+    @property
+    def quaternion(self) -> np.ndarray:
+        c, s = np.cos(self.rotation), np.sin(self.rotation)
+        rot = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        return matrix_to_quat_np(rot)
 
 
 class CubbyEnvironment(Environment):
-    """2x2 cubby with randomized geometry."""
-
-    #: When True, one randomly-chosen internal divider is omitted, merging two
-    #: pockets (the MergedCubbyEnvironment behavior).
-    merge: bool = False
+    """2x2 cubby with the reference's randomized geometry."""
 
     def __init__(self) -> None:
         super().__init__()
-        self.params: CubbyParams | None = None
-        self.pockets: List[Tuple[np.ndarray, np.ndarray]] = []  # (lo, hi) local
+        self.params: Optional[CubbyParams] = None
 
-    def _panel(self, center_local, dims) -> Cuboid:
-        """A wall panel given in the cubby's local (unrotated) frame."""
+    # -- construction --------------------------------------------------------
+    def _build(self) -> None:
+        """Reference ``_unrotated_cuboids`` + center-pivot rotation
+        (cubby_environment.py:124-264)."""
         p = self.params
-        rot = _rot_z(p.yaw)
-        world = rot @ np.asarray(center_local, dtype=np.float64)
-        return Cuboid(center=world, dims=dims, quaternion=_yaw_quat(p.yaw))
-
-    def _build(self, rng: np.random.Generator) -> None:
-        p = self.params
-        cx = p.distance + p.depth / 2  # pocket-region center x
         t = p.thickness
-        mid_z = p.bottom + p.height / 2
-        top_z = p.bottom + p.height
-
+        mid_x = (p.front + p.back) / 2
+        mid_y = (p.left + p.right) / 2
+        mid_z = (p.top + p.bottom) / 2
         panels = [
-            # back wall
-            ([p.distance + p.depth + t / 2, 0.0, mid_z],
-             [t, p.width, p.height + 2 * t]),
-            # left / right side walls
-            ([cx, p.width / 2 + t / 2, mid_z], [p.depth, t, p.height + 2 * t]),
-            ([cx, -p.width / 2 - t / 2, mid_z], [p.depth, t, p.height + 2 * t]),
-            # top / bottom decks
-            ([cx, 0.0, top_z + t / 2], [p.depth, p.width + 2 * t, t]),
-            ([cx, 0.0, p.bottom - t / 2], [p.depth, p.width + 2 * t, t]),
+            # back wall (spans z in [0, top])
+            ([p.back, mid_y, p.top / 2], [t, p.left - p.right, p.top]),
+            # bottom / top shelves
+            ([mid_x, mid_y, p.bottom], [p.back - p.front, p.left - p.right, t]),
+            ([mid_x, mid_y, p.top], [p.back - p.front, p.left - p.right, t]),
+            # right / left side walls
+            ([mid_x, p.right, mid_z],
+             [p.back - p.front, t, (p.top - p.bottom) + t]),
+            ([mid_x, p.left, mid_z],
+             [p.back - p.front, t, (p.top - p.bottom) + t]),
         ]
-        drop_shelf = drop_divider = False
-        if self.merge:
-            if rng.uniform() < 0.5:
-                drop_shelf = True
-            else:
-                drop_divider = True
-        if not drop_shelf:  # middle horizontal shelf
-            panels.append(([cx, 0.0, mid_z], [p.depth, p.width, t]))
-        if not drop_divider:  # middle vertical divider
-            panels.append(([cx, 0.0, mid_z], [p.depth, t, p.height]))
+        if not np.isclose(p.center_wall_thickness, 0.0):
+            panels.append(
+                ([mid_x, p.mid_v_y, mid_z],
+                 [p.back - p.front, p.center_wall_thickness,
+                  p.top - p.bottom + t])
+            )
+        if not np.isclose(p.middle_shelf_thickness, 0.0):
+            panels.append(
+                ([mid_x, mid_y, p.mid_h_z],
+                 [p.back - p.front, p.left - p.right,
+                  p.middle_shelf_thickness])
+            )
+        quat = p.quaternion
+        self.obstacles = [
+            Cuboid(center=p.world_point(c), dims=d, quaternion=quat)
+            for c, d in panels
+        ]
 
-        self.obstacles = [self._panel(c, d) for c, d in panels]
-
-        # Pocket interiors in the local frame (shrunk by the wall thickness).
-        ys = [(-p.width / 2 + t, -t), (t, p.width / 2 - t)]
-        zs = [(p.bottom + t, mid_z - t), (mid_z + t, top_z - t)]
-        if drop_divider:
-            ys = [(-p.width / 2 + t, p.width / 2 - t)]
-        if drop_shelf:
-            zs = [(p.bottom + t, top_z - t)]
-        self.pockets = []
-        for y0, y1 in ys:
-            for z0, z1 in zs:
-                lo = np.array([p.distance + 0.05, y0 + 0.02, z0 + 0.02])
-                hi = np.array([p.distance + p.depth - 0.05, y1 - 0.02, z1 - 0.02])
-                if np.all(hi > lo):
-                    self.pockets.append((lo, hi))
+    def _pocket_bounds(self) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Local-frame (lo, hi) interiors. Index layout: {0,1} share a z
+        level, {0,2} share a y side (matches the merged-variant tests in
+        cubby_environment.py:679-686)."""
+        p = self.params
+        have_wall = not np.isclose(p.center_wall_thickness, 0.0)
+        have_shelf = not np.isclose(p.middle_shelf_thickness, 0.0)
+        ys = (
+            [(p.right, p.mid_v_y), (p.mid_v_y, p.left)]
+            if have_wall else [(p.right, p.left)]
+        )
+        zs = (
+            [(p.bottom, p.mid_h_z), (p.mid_h_z, p.top)]
+            if have_shelf else [(p.bottom, p.top)]
+        )
+        out = []
+        for z0, z1 in zs:
+            for y0, y1 in ys:
+                out.append(
+                    (
+                        np.array([p.front, y0, z0]),
+                        np.array([p.back, y1, z1]),
+                    )
+                )
+        return out
 
     def support_volumes(self) -> List[Cuboid]:
-        """Per-pocket interior volumes (cubby_environment.py:266-431), used
-        as target regions / negative volumes by the problem generator."""
+        """Pocket interiors as world-frame cuboids
+        (cubby_environment.py:266-431)."""
         p = self.params
-        rot = _rot_z(p.yaw)
+        quat = p.quaternion
         out = []
-        for lo, hi in self.pockets:
-            center_local = (lo + hi) / 2
+        for lo, hi in self._pocket_bounds():
             out.append(
                 Cuboid(
-                    center=rot @ center_local,
+                    center=p.world_point((lo + hi) / 2),
                     dims=hi - lo,
-                    quaternion=_yaw_quat(p.yaw),
+                    quaternion=quat,
                 )
             )
         return out
 
-    def sample_candidate_poses(
-        self, rng: np.random.Generator, how_many: int
+    # -- candidates ----------------------------------------------------------
+    def _pocket_poses(
+        self, rng: np.random.Generator, pocket: int, how_many: int,
+        margin: float = 0.05,
     ) -> List[Pose]:
-        """Horizontal-approach poses inside random pockets, matching the
-        reference's ``random_pose_and_config``
-        (cubby_environment.py:505-549): approach axis z = [cosθ, sinθ, 0]
-        with θ ~ U(-π/4, π/4) pointing into the open front, finger axis
-        x = [0, 0, -1]. (A downward wrist inside an enclosed pocket would
-        extend into the shelf above — advisor finding r1.)"""
+        """Horizontal-approach poses inside one pocket (margin-shrunk so the
+        conservative sphere IK accepts; reference instead rejection-samples
+        against mesh collision, cubby_environment.py:528-546)."""
+        lo, hi = self._pocket_bounds()[pocket]
+        lo = lo + np.array([margin, 0.02 + self.params.thickness / 2,
+                            0.02 + self.params.thickness / 2])
+        hi = hi - np.array([margin, 0.02 + self.params.thickness / 2,
+                            0.02 + self.params.thickness / 2])
+        if np.any(hi <= lo):
+            return []
         poses = []
         for _ in range(how_many):
-            lo, hi = self.pockets[rng.integers(len(self.pockets))]
             local = rng.uniform(lo, hi)
-            world = _rot_z(self.params.yaw) @ local
+            world = self.params.world_point(local)
+            # World-frame approach into the cubby (+x), finger axis down:
+            # z = [cosθ, sinθ, 0], θ ~ U(-π/4, π/4), x = [0, 0, -1]
+            # (cubby_environment.py:528-537; θ is sampled in the world frame
+            # regardless of the cabinet yaw, as in the reference).
             theta = rng.uniform(-np.pi / 4, np.pi / 4)
             z = np.array([np.cos(theta), np.sin(theta), 0.0])
             poses.append(pose_from_xz_axes([0.0, 0.0, -1.0], z, world))
         return poses
 
+    def sample_candidate_poses(
+        self, rng: np.random.Generator, how_many: int
+    ) -> List[Pose]:
+        pockets = list(range(len(self._pocket_bounds())))
+        poses = []
+        for _ in range(how_many):
+            poses.extend(self._pocket_poses(rng, int(rng.choice(pockets)), 1))
+        return poses
+
+    def _candidate_in_pocket(
+        self, rng: np.random.Generator, pocket: int
+    ) -> Optional[TaskOrientedCandidate]:
+        poses = self._pocket_poses(rng, pocket, 64)
+        if not poses:
+            return None
+        saved = self.sample_candidate_poses
+        try:
+            self.sample_candidate_poses = lambda r, n: poses[:n]  # type: ignore
+            got = self.gen_candidates(rng, 1, oversample=len(poses))
+        finally:
+            self.sample_candidate_poses = saved  # type: ignore
+        return got[0] if got else None
+
     def gen(self, rng: np.random.Generator) -> bool:
+        """Reference ``_gen`` (cubby_environment.py:440-503): shuffle pockets,
+        pick start/target candidates from two different pockets, negative
+        volumes = the other pockets' supports."""
         self._invalidate_scene()
         self.params = CubbyParams.random(rng)
-        self._build(rng)
+        self._build()
         self._invalidate_scene()
-        if not self.pockets:
-            return False
-        candidates = self.gen_candidates(rng, 2)
-        if len(candidates) < 2:
-            return False
-        self.demo_candidates = candidates[:2]
-        return True
+        supports = self.support_volumes()
+        order = list(rng.permutation(len(supports)))
+        for ii, i in enumerate(order):
+            start = self._candidate_in_pocket(rng, int(i))
+            if start is None:
+                continue
+            for j in order[ii + 1:]:
+                target = self._candidate_in_pocket(rng, int(j))
+                if target is not None:
+                    start.negative_volumes = [
+                        s for k, s in enumerate(supports) if k != i
+                    ]
+                    target.negative_volumes = [
+                        s for k, s in enumerate(supports) if k != j
+                    ]
+                    self.demo_candidates = [start, target]
+                    self._pockets_chosen = (int(i), int(j))
+                    return True
+        return False
 
 
 class MergedCubbyEnvironment(CubbyEnvironment):
-    """Cubby with one internal divider removed, merging two pockets
-    (cubby_environment.py:660-704)."""
+    """Cubby whose internal dividers between the start and target pockets
+    are removed after candidate selection (cubby_environment.py:660-704)."""
 
-    merge = True
+    def gen(self, rng: np.random.Generator) -> bool:
+        if not super().gen(rng):
+            return False
+        i, j = self._pockets_chosen
+        p = self.params
+        # {0,1} share a z level; {2,3} the other: vertical separation drops
+        # the middle shelf. {0,2} share a y side: horizontal separation drops
+        # the center wall.
+        if (i in (0, 1)) != (j in (0, 1)):
+            p.middle_shelf_thickness = 0.0
+        if (i in (0, 2)) != (j in (0, 2)):
+            p.center_wall_thickness = 0.0
+        self._build()
+        self._invalidate_scene()
+        # Reassign supports: both candidates must land in the same merged
+        # pocket (reference asserts this, cubby_environment.py:688-696).
+        supports = self.support_volumes()
+        for cand in self.demo_candidates:
+            own = [
+                k for k, s in enumerate(supports)
+                if s.sdf(cand.pose.position) < 0
+            ]
+            k = own[0] if own else 0
+            cand.negative_volumes = [
+                s for m, s in enumerate(supports) if m != k
+            ]
+        return True

@@ -1,13 +1,24 @@
 """Procedural tabletop environments.
 
 Behavioral equivalent of the reference's ``TabletopEnvironment``
-(``/root/reference/mpinets/data_pipeline/environments/tabletop_environment.py:52-441``):
-a table surface (rectangular or L-shaped, height 0 or ~U(0, 0.4)), 3-15
-random cuboid/cylinder objects placed without overlap on the surface, and
-task-oriented candidate poses above the table pointing down with randomized
-roll/pitch/yaw ranges, solved to configurations with the batched
-collision-free IK. The linear-decreasing height bias for candidate z follows
-``tabletop_environment.py:43-49,386``.
+(``/root/reference/mpinets/data_pipeline/environments/tabletop_environment.py:52-441``),
+matching its *parameter distributions* (r3, VERDICT #7), not its code:
+
+* L/l-shaped table layouts (``tabletop_environment.py:215-330``): a front
+  table split into a task region (objects + candidates) and a clear region,
+  an optional side table with the same split (p=0.5, the "L"), and a mount
+  table under the robot base. Table height is 0 w.p. 0.35, else U(0, 0.4);
+  slabs are solid blocks from z=-0.02 up to the surface.
+* 3-14 objects (``gen_data.py:618``: ``np.random.randint(3, 15)``) placed by
+  rejection sampling on the task surfaces with a 0.05 m clearance; object
+  footprint is capped by the clearance actually available
+  (``tabletop_environment.py:129-153, 404-441``): cylinder w.p. 0.3 (upright,
+  radius in [0.05, min(min_sdf, 0.15)], height U(0.05, 0.35)), else cuboid
+  with xy dims in the same range, z dim U(0.05, 0.35), yaw U(0, pi/2).
+* Candidate poses above the task surfaces (``tabletop_environment.py:354-404``):
+  the sampled point is raised to the top of any object it lands on, offset
+  0.01-0.12 m with linearly-decreasing density, and oriented rpy with
+  roll ~ U(3pi/4, 5pi/4), pitch ~ U(-pi/8, pi/8), yaw ~ U(-pi/2, pi/2).
 """
 
 from __future__ import annotations
@@ -16,115 +27,171 @@ from typing import List
 
 import numpy as np
 
-from mpinets_tpu.envs.base import Environment, TaskOrientedCandidate
+from mpinets_tpu.envs.base import Environment
 from mpinets_tpu import types
 from mpinets_tpu.types import Cuboid, Cylinder, Pose
 
-TABLE_HEIGHT_MAX = 0.4
-NUM_OBJECTS_RANGE = (3, 15)
-OBJECT_DIM_RANGE = (0.03, 0.25)
 #: Candidate offset above the support surface
 #: (tabletop_environment.py:386: ``random_linear_decrease() * (0.12 - 0.01)
 #: + 0.01``): linearly decreasing density over [0.01, 0.12] m.
 CANDIDATE_Z_RANGE = (0.01, 0.12)
+#: Object count range (gen_data.py:618, np.random.randint(3, 15)).
+NUM_OBJECTS_RANGE = (3, 15)
+#: Object footprint minimum / cap (tabletop_environment.py:152, 418).
+OBJECT_DIM_MIN = 0.05
+OBJECT_XY_CAP = 0.15
+OBJECT_Z_RANGE = (0.05, 0.35)
 
 
 def _height_biased(rng: np.random.Generator, lo: float, hi: float) -> float:
-    """Linearly-decreasing density over [lo, hi]: p(h) ∝ (hi - h)."""
+    """Linearly-decreasing density over [lo, hi]: p(h) ∝ (hi - h)
+    (``random_linear_decrease``, tabletop_environment.py:43-49)."""
     u = rng.uniform()
-    return float(hi - (hi - lo) * np.sqrt(u))
+    return float(lo + (hi - lo) * (1.0 - np.sqrt(u)))
+
+
+def _slab(x0, x1, y0, y1, z, dim_z) -> Cuboid:
+    return Cuboid(
+        center=[(x0 + x1) / 2, (y0 + y1) / 2, z],
+        dims=[abs(x1 - x0), abs(y1 - y0), dim_z],
+        quaternion=[1.0, 0.0, 0.0, 0.0],
+    )
 
 
 class TabletopEnvironment(Environment):
-    """Random table + scattered objects."""
+    """Random L/l-shaped tables + scattered objects."""
 
     def __init__(self) -> None:
         super().__init__()
-        self.table_tops: List[Cuboid] = []
+        self.task_tables: List[Cuboid] = []   # object/candidate region
+        self.clear_tables: List[Cuboid] = []  # object-free slabs
 
     # -- scene ----------------------------------------------------------------
-    def _gen_table(self, rng: np.random.Generator) -> None:
-        """One or two slabs: a main table in front of the robot, optionally an
-        L-extension to the side (the reference's L/l-shaped tables)."""
-        height = 0.0 if rng.uniform() < 0.5 else rng.uniform(0.0, TABLE_HEIGHT_MAX)
-        thickness = rng.uniform(0.02, 0.08)
-        main = Cuboid(
-            center=[rng.uniform(0.55, 0.75), rng.uniform(-0.15, 0.15),
-                    height - thickness / 2],
-            dims=[rng.uniform(0.6, 1.0), rng.uniform(0.9, 1.6), thickness],
-            quaternion=[1.0, 0.0, 0.0, 0.0],
+    def _setup_tables(self, rng: np.random.Generator) -> None:
+        """Reference ``setup_tables`` distributions
+        (tabletop_environment.py:215-330)."""
+        height = 0.0 if rng.uniform() < 0.35 else rng.uniform(0.0, 0.4)
+        z = (height - 0.02) / 2
+        dim_z = height + 0.02
+
+        front_x_min = rng.uniform(0.275, 0.375)
+        front_x_max = rng.uniform(1.275, 1.375)
+        front_y_max = rng.uniform(1.5, 1.65)
+        has_side = rng.uniform() < 0.5
+        front_y_min = (
+            rng.uniform(-1.0, -0.75) if has_side else rng.uniform(-0.75, -0.55)
         )
-        self.table_tops = [main]
-        if rng.uniform() < 0.5:  # L-shape: side wing
-            side = 1.0 if rng.uniform() < 0.5 else -1.0
-            wing = Cuboid(
-                center=[rng.uniform(0.0, 0.25),
-                        side * rng.uniform(0.55, 0.75), height - thickness / 2],
-                dims=[rng.uniform(0.9, 1.4), rng.uniform(0.5, 0.9), thickness],
+        # task region: fraction U(0.55, 0.65) of the y extent at the y-min end
+        frac = rng.uniform(0.55, 0.65)
+        split_y = front_y_min + frac * (front_y_max - front_y_min)
+        self.task_tables = [_slab(front_x_min, front_x_max,
+                                  front_y_min, split_y, z, dim_z)]
+        self.clear_tables = [_slab(front_x_min, front_x_max,
+                                   split_y, front_y_max, z, dim_z)]
+
+        if has_side:
+            side_y_max = rng.uniform(-0.325, -0.275)
+            side_y_min = front_y_min
+            side_x_max = front_x_min
+            side_x_min = side_x_max - rng.uniform(0.0, 1.375)
+            # task region: fraction of the x extent at the x-max end
+            sfrac = rng.uniform(0.55, 0.65)
+            ssplit_x = side_x_max - sfrac * (side_x_max - side_x_min)
+            self.task_tables.append(
+                _slab(ssplit_x, side_x_max, side_y_min, side_y_max, z, dim_z)
+            )
+            self.clear_tables.append(
+                _slab(side_x_min, ssplit_x, side_y_min, side_y_max, z, dim_z)
+            )
+
+        # mount table under the robot base (always at z = -0.01, thin)
+        mount_x = rng.uniform(-0.02, 0.02)
+        mount_y = rng.uniform(-0.02, 0.02)
+        mount_xdim = 2.0 * (front_x_min - mount_x)
+        mount_ydim = (
+            2.0 * (mount_y - side_y_max) if has_side
+            else rng.uniform(0.9, 0.94)
+        )
+        self.clear_tables.append(
+            Cuboid(
+                center=[mount_x, mount_y, -0.01],
+                dims=[mount_xdim, mount_ydim, 0.02],
                 quaternion=[1.0, 0.0, 0.0, 0.0],
             )
-            self.table_tops.append(wing)
-        self.obstacles = list(self.table_tops)
+        )
+        self.obstacles = list(self.task_tables) + list(self.clear_tables)
 
     def _surface_point(self, rng: np.random.Generator) -> np.ndarray:
-        """Uniform point on a random table top (area-weighted)."""
-        areas = np.array([t.dims[0] * t.dims[1] for t in self.table_tops])
-        t = self.table_tops[rng.choice(len(self.table_tops), p=areas / areas.sum())]
+        """Uniform point on a random TASK table top (area-weighted;
+        ``random_points_on_table``, tabletop_environment.py:179-213)."""
+        areas = np.array([t.dims[0] * t.dims[1] for t in self.task_tables])
+        t = self.task_tables[
+            rng.choice(len(self.task_tables), p=areas / areas.sum())
+        ]
         x = t.center[0] + rng.uniform(-0.5, 0.5) * t.dims[0]
         y = t.center[1] + rng.uniform(-0.5, 0.5) * t.dims[1]
         return np.array([x, y, t.center[2] + t.dims[2] / 2])
 
     def _place_objects(self, rng: np.random.Generator, how_many: int) -> None:
-        """Scatter non-overlapping objects on the surfaces
-        (tabletop_environment.py:129-153): rejection sample xy, skip
-        placements whose footprint overlaps an existing object."""
-        placed: List[np.ndarray] = []  # (x, y, half-extent)
-        for _ in range(how_many):
-            for _attempt in range(20):
-                p = self._surface_point(rng)
-                if rng.uniform() < 0.5:
-                    dims = rng.uniform(*OBJECT_DIM_RANGE, size=3)
-                    half = float(np.hypot(dims[0], dims[1]) / 2)
-                    obj = Cuboid(
-                        center=[p[0], p[1], p[2] + dims[2] / 2],
-                        dims=dims,
-                        quaternion=_yaw_quat(rng.uniform(0, 2 * np.pi)),
-                    )
-                else:
-                    r = rng.uniform(0.02, 0.12)
-                    h = rng.uniform(0.05, 0.35)
-                    half = r
-                    obj = Cylinder(
+        """Rejection placement on the task surfaces
+        (``place_objects`` + ``random_object``,
+        tabletop_environment.py:129-153,404-441): candidates whose point is
+        within 0.05 m (SDF) of an existing object are rejected; accepted
+        objects get their footprint capped by the free clearance."""
+        objects: List = []
+        for _ in range(10 * how_many):
+            if len(objects) >= how_many:
+                break
+            p = self._surface_point(rng)
+            min_sdf = 1000.0
+            ok = True
+            for o in objects:
+                s = float(o.sdf(p))
+                min_sdf = min(min_sdf, s)
+                if s <= 0.05:
+                    ok = False
+            if not ok:
+                continue
+            xy_max = max(min(min_sdf, OBJECT_XY_CAP), OBJECT_DIM_MIN + 1e-4)
+            if rng.uniform() < 0.3:
+                r = rng.uniform(OBJECT_DIM_MIN, xy_max)
+                h = rng.uniform(*OBJECT_Z_RANGE)
+                objects.append(
+                    Cylinder(
                         center=[p[0], p[1], p[2] + h / 2],
                         radius=r,
                         height=h,
                         quaternion=[1.0, 0.0, 0.0, 0.0],
                     )
-                if all(
-                    np.hypot(p[0] - q[0], p[1] - q[1]) > half + q[2]
-                    for q in placed
-                ):
-                    placed.append(np.array([p[0], p[1], half]))
-                    self.obstacles.append(obj)
-                    break
+                )
+            else:
+                dims = [
+                    rng.uniform(OBJECT_DIM_MIN, xy_max),
+                    rng.uniform(OBJECT_DIM_MIN, xy_max),
+                    rng.uniform(*OBJECT_Z_RANGE),
+                ]
+                objects.append(
+                    Cuboid(
+                        center=[p[0], p[1], p[2] + dims[2] / 2],
+                        dims=dims,
+                        quaternion=_yaw_quat(rng.uniform(0, np.pi / 2)),
+                    )
+                )
+        self.obstacles.extend(objects)
+        self._objects = objects
 
     # -- candidates -----------------------------------------------------------
     def sample_candidate_poses(
         self, rng: np.random.Generator, how_many: int
     ) -> List[Pose]:
-        """Poses above the support surface, matching the reference's
-        ``gen_candidate`` (tabletop_environment.py:354-404): the sampled
-        point is raised to the top of any object it lands on, offset
-        0.01-0.12 m above with linearly-decreasing density, and oriented by
-        rpy with roll ~ U(3π/4, 5π/4), pitch ~ U(-π/8, π/8),
-        yaw ~ U(-π/2, π/2) (down-pointing gripper family)."""
-        objects = self.obstacles[len(self.table_tops):]
+        """Poses above the task surfaces, matching the reference's
+        ``gen_candidate`` (tabletop_environment.py:354-404)."""
         poses = []
         for _ in range(how_many):
             p = self._surface_point(rng)
             # Raise onto the top of any object under the sampled xy
             # (reference: o.sdf(p) <= 0.01 -> p.z := object top).
-            for o in objects:
+            for o in self._objects:
                 if o.sdf(p) <= 0.01:
                     if isinstance(o, Cuboid):
                         p[2] = o.center[2] + o.dims[2] / 2
@@ -139,7 +206,7 @@ class TabletopEnvironment(Environment):
 
     def gen(self, rng: np.random.Generator) -> bool:
         self._invalidate_scene()
-        self._gen_table(rng)
+        self._setup_tables(rng)
         self._place_objects(rng, int(rng.integers(*NUM_OBJECTS_RANGE)))
         self._invalidate_scene()
         candidates = self.gen_candidates(rng, 2)

@@ -37,8 +37,8 @@ from mpinets_tpu.robot import franka, sampler
 
 def sphere_collision(q: jnp.ndarray, scene, margin: float = 0.0) -> jnp.ndarray:
     """Evaluator semantics: any collision sphere penetrates the scene."""
-    centers = kinematics.collision_spheres(q)
-    radii = jnp.asarray(franka.SPHERE_RADII, q.dtype)
+    centers = kinematics.scene_collision_spheres(q)
+    radii = jnp.asarray(franka.SCENE_SPHERE_RADII, q.dtype)
     d = sdf.scene_sdf(centers, scene)
     return jnp.any(d < radii + margin, axis=-1)
 

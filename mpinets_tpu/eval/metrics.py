@@ -90,8 +90,10 @@ def check_trajectories(
     valid = jnp.arange(t)[None, :] <= num_steps[:, None]  # [B, T]
 
     # --- physical violations over the live prefix -------------------------
-    centers = kinematics.collision_spheres(trajectories)  # [B, T, 57, 3]
-    radii = jnp.asarray(franka.SPHERE_RADII, trajectories.dtype)
+    # with_base_link=False convention (mpinets/model.py:270): the base
+    # sphere is excluded from scene checks.
+    centers = kinematics.scene_collision_spheres(trajectories)
+    radii = jnp.asarray(franka.SCENE_SPHERE_RADII, trajectories.dtype)
     sdf_vals = sdf.scene_sdf_sequence(
         centers.reshape(b, t, -1, 3), scene
     ).reshape(b, t, -1)  # [B, T, 57]

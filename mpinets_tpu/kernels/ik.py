@@ -196,8 +196,10 @@ def franka_free_space(q: jnp.ndarray, scene, margin: float = 0.0) -> jnp.ndarray
 
     q: [B, 7]; scene: SceneSet batched [B] or unbatched -> bool [B].
     """
-    centers = kinematics.collision_spheres(q)  # [B, 57, 3]
-    radii = jnp.asarray(franka.SPHERE_RADII, q.dtype)
+    # Scene checks exclude the base-link sphere (reference
+    # with_base_link=False convention, mpinets/model.py:270).
+    centers = kinematics.scene_collision_spheres(q)  # [B, 56, 3]
+    radii = jnp.asarray(franka.SCENE_SPHERE_RADII, q.dtype)
     d = sdf.scene_sdf(centers, scene)  # [B, 57]
     env_clear = jnp.all(d > radii + margin, axis=-1)
     return env_clear & ~kinematics.self_collision(q)

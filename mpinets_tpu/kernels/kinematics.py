@@ -132,6 +132,20 @@ def collision_spheres(q: jnp.ndarray):
     return jnp.einsum("...sij,sj->...si", s_rot, local) + s_trans
 
 
+@partial(jax.jit, static_argnames=())
+def scene_collision_spheres(q: jnp.ndarray):
+    """Collision spheres used against SCENE geometry: the 57-sphere table
+    minus the base link (reference ``with_base_link=False`` convention,
+    ``mpinets/model.py:270``). Radii:
+    :data:`mpinets_tpu.robot.franka.SCENE_SPHERE_RADII`."""
+    rots, transs = fk_frames(q)
+    frames = jnp.asarray(franka.SCENE_SPHERE_FRAMES)
+    local = jnp.asarray(franka.SCENE_SPHERE_CENTERS, dtype=q.dtype)
+    s_rot = jnp.take(rots, frames, axis=-3)
+    s_trans = jnp.take(transs, frames, axis=-2)
+    return jnp.einsum("...sij,sj->...si", s_rot, local) + s_trans
+
+
 def self_collision(q: jnp.ndarray, margin: float = 0.0) -> jnp.ndarray:
     """Sphere-model self-collision predicate.
 

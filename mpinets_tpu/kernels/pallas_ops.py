@@ -445,20 +445,29 @@ def _sa_kernel(
     fix = jnp.concatenate(fix_blocks, axis=0)             # [ts*ns, c1]
     vmask = jnp.concatenate(vmask_parts, axis=0)          # [ts*ns, 1]
 
+    # f32 mode: request HIGHEST precision -- Mosaic otherwise runs "f32" MXU
+    # matmuls in bf16 passes (measured 4-7e-3 on-chip parity error, r3b).
+    prec = (
+        jax.lax.Precision.HIGHEST if cdt == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     h1 = (
-        jnp.dot(raw_all.astype(cdt), w1, preferred_element_type=f32)
+        jnp.dot(raw_all.astype(cdt), w1, preferred_element_type=f32,
+                precision=prec)
         + b1_ref[:].astype(f32)
         - b_rep
     )
     h1 = jnp.where(jnp.isnan(fix), h1, fix)
     h = jnp.maximum(h1, 0).astype(cdt)
     h = jnp.maximum(
-        jnp.dot(h, w2_ref[:].astype(cdt), preferred_element_type=f32)
+        jnp.dot(h, w2_ref[:].astype(cdt), preferred_element_type=f32,
+                precision=prec)
         + b2_ref[:].astype(f32),
         0,
     ).astype(cdt)
     h = jnp.maximum(
-        jnp.dot(h, w3_ref[:].astype(cdt), preferred_element_type=f32)
+        jnp.dot(h, w3_ref[:].astype(cdt), preferred_element_type=f32,
+                precision=prec)
         + b3_ref[:].astype(f32),
         0,
     )                                                     # [ts*ns, c3] f32
@@ -474,7 +483,9 @@ def _sa_kernel(
 
 def _sa_kernel_v5(
     pts_ref,     # [1, P*NC, 128] channel planes (x, y, z, feat...) chunked
-    ct_ref,      # [1, 3, TS] centroid coords, channel-major
+    cx_ref,      # [1, TS, 1] centroid coords (as in v3)
+    cy_ref,
+    cz_ref,
     w1t_ref,     # [C1, P8] transposed layer weights
     b1t_ref,     # [C1, 1]
     w2t_ref,     # [C2, C1]
@@ -482,7 +493,7 @@ def _sa_kernel_v5(
     w3t_ref,     # [C3, C2]
     b3t_ref,     # [C3, 1]
     lt_ref,      # [128, 128] lower-triangular ones (bf16)
-    out_ref,     # [1, C3, TS]  (channel-major; wrapper transposes)
+    out_ref,     # [1, TS, C3]
     idx_ref,     # [1, TS, ns] selected indices (int32)
     *,
     radius: float,
@@ -501,14 +512,17 @@ def _sa_kernel_v5(
       MLP runs transposed (``W^T @ X``), eliminating v3's per-centroid
       [p,128]->[128,p] transposes, sublane-concat relayouts, and the skinny
       [ts*ns, p] layer-1 matmul.
-    * Per-centroid scalars (recentring bias, count fix, valid mask) are
-      expanded to lanes with one constant one-hot matmul (``E [ts,
-      ts*128]``) instead of per-centroid broadcast blocks.
+    * Per-centroid columns (recentring bias, count fix, valid mask) are
+      built as [*, 128] lane blocks from the already-extracted centroid
+      scalars and lane-concatenated alongside the data.
     * Binary-search rounds probing 1-2 distinct columns use static slices +
       selects instead of dynamic gathers (the probe of round k ranges over
       2^(k-1) values), cutting the dominant gather traffic by 2/7.
     * ``in_ball`` is computed chunk-wise in bf16 without materializing an
       f32 d2 array.
+    * When ``compute_dtype`` is f32, value-path matmuls request
+      ``Precision.HIGHEST`` — Mosaic otherwise runs "f32" MXU matmuls in
+      bf16 passes, which broke on-chip parity at ~5e-3 (r3b measurement).
     """
     ts = tile_s
     nc = num_chunks
@@ -517,11 +531,14 @@ def _sa_kernel_v5(
     rb = ts * nc
     f32 = jnp.float32
     cdt = compute_dtype
+    prec = (
+        jax.lax.Precision.HIGHEST if cdt == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
 
-    cent = ct_ref[0].astype(f32)            # [3, ts]
-    cxs = [cent[0, g] for g in range(ts)]
-    cys = [cent[1, g] for g in range(ts)]
-    czs = [cent[2, g] for g in range(ts)]
+    cxs = [cx_ref[0, g, 0] for g in range(ts)]
+    cys = [cy_ref[0, g, 0] for g in range(ts)]
+    czs = [cz_ref[0, g, 0] for g in range(ts)]
 
     planes = pts_ref[0]                     # [p*nc, 128]
     x = planes[0 * nc : 1 * nc].astype(f32)
@@ -587,50 +604,63 @@ def _sa_kernel_v5(
         blocks.append(jnp.sum(gat.reshape(p, nc, 128), axis=1))  # [p, 128]
     raw_lanes = jnp.concatenate(blocks, axis=1)          # [p, ts*128]
 
-    # ---- 6. per-centroid lane expansion (one-hot matmul) ------------------
+    # ---- 6. per-centroid lane columns (recentre bias, fix, valid) ---------
     w1t = w1t_ref[:, :p].astype(cdt)
     w1tf = w1t_ref[:, :p].astype(f32)
     c1 = w1t.shape[0]
-    lane_g = jax.lax.broadcasted_iota(jnp.int32, (ts, ts * ns), 1) // ns
-    sub_g = jax.lax.broadcasted_iota(jnp.int32, (ts, ts * ns), 0)
-    # f32 so the expansion is an exact select (one nonzero per column);
-    # tiny flops (c1 x ts x ts*128 per grid step).
-    e = (lane_g == sub_g).astype(f32)                    # [ts, ts*128]
-    bc_cols = jnp.dot(
-        w1tf[:, :3], cent, preferred_element_type=f32
-    )                                                    # [c1, ts]
-    pts0 = jnp.stack(
-        [planes[ch * nc, 0].astype(f32) for ch in range(p)]
-    ).reshape(p, 1)
-    h0_cols = (
-        jnp.dot(w1tf, pts0, preferred_element_type=f32)
-        + b1t_ref[:].astype(f32)
-        - bc_cols
-    )                                                    # [c1, ts]
-    totals_row = jnp.transpose(totals)                   # [1, ts]
-    exp = lambda cols: jnp.dot(cols, e, preferred_element_type=f32)
-    bc_lanes = exp(bc_cols)                              # [c1, ts*128]
-    h0_lanes = exp(h0_cols)
-    totals_lanes = exp(totals_row)                       # [1, ts*128]
-    slot_lane = jax.lax.broadcasted_iota(jnp.int32, (1, ts * ns), 1) % ns
-    fix_mask = (totals_lanes < 0.5) & (slot_lane == 0)
-    vmask = slot_lane.astype(f32) < jnp.maximum(totals_lanes, 1.0)
+    pts0 = [planes[ch * nc, 0].astype(f32) for ch in range(p)]
+    h0_base = b1t_ref[:].astype(f32)                     # [c1, 1]
+    for ch in range(p):
+        h0_base = h0_base + pts0[ch] * w1tf[:, ch : ch + 1]
+    slot128 = jax.lax.broadcasted_iota(jnp.int32, (1, ns), 1)
+    bc_blocks, fix_blocks, vmask_blocks = [], [], []
+    for g in range(ts):
+        bg = (
+            cxs[g] * w1tf[:, 0:1]
+            + cys[g] * w1tf[:, 1:2]
+            + czs[g] * w1tf[:, 2:3]
+        )                                                # [c1, 1]
+        bc_blocks.append(jnp.broadcast_to(bg, (c1, ns)))
+        tg = totals[g, 0]
+        # count == 0: slot 0 takes point-0's layer-1 row (h0_base - bg)
+        fix_blocks.append(
+            jnp.where(
+                (tg < 0.5) & (slot128 == 0),
+                jnp.broadcast_to(h0_base - bg, (c1, ns)),
+                jnp.nan,
+            )
+        )
+        vmask_blocks.append(
+            slot128.astype(f32) < jnp.maximum(tg, 1.0)
+        )
+    bc_lanes = jnp.concatenate(bc_blocks, axis=1)        # [c1, ts*128]
+    fix = jnp.concatenate(fix_blocks, axis=1)            # [c1, ts*128]
+    vmask = jnp.concatenate(vmask_blocks, axis=1)        # [1, ts*128]
 
     # ---- 7. transposed MLP + masked lane-window max-pool ------------------
     h1 = (
-        jnp.dot(w1t, raw_lanes.astype(cdt), preferred_element_type=f32)
+        jnp.dot(
+            w1t, raw_lanes.astype(cdt),
+            preferred_element_type=f32, precision=prec,
+        )
         + b1t_ref[:].astype(f32)
         - bc_lanes
     )
-    h1 = jnp.where(fix_mask, h0_lanes, h1)
+    h1 = jnp.where(jnp.isnan(fix), h1, fix)
     h = jnp.maximum(h1, 0).astype(cdt)
     h = jnp.maximum(
-        jnp.dot(w2t_ref[:].astype(cdt), h, preferred_element_type=f32)
+        jnp.dot(
+            w2t_ref[:].astype(cdt), h,
+            preferred_element_type=f32, precision=prec,
+        )
         + b2t_ref[:].astype(f32),
         0,
     ).astype(cdt)
     h = jnp.maximum(
-        jnp.dot(w3t_ref[:].astype(cdt), h, preferred_element_type=f32)
+        jnp.dot(
+            w3t_ref[:].astype(cdt), h,
+            preferred_element_type=f32, precision=prec,
+        )
         + b3t_ref[:].astype(f32),
         0,
     )                                                    # [c3, ts*128] f32
@@ -639,7 +669,12 @@ def _sa_kernel_v5(
         jnp.max(h[:, g * ns : (g + 1) * ns], axis=1, keepdims=True)
         for g in range(ts)
     ]
-    out_ref[0] = jnp.concatenate(pools, axis=1).astype(out_ref.dtype)
+    # ONE [c3, ts] -> [ts, c3] transpose per grid step (vs v3's ts of them);
+    # Mosaic rejects a (1, c3, ts) output block (lane dim must be the full
+    # array dim or a multiple of 128), so outputs stay row-major [S, c3].
+    out_ref[0] = jnp.transpose(
+        jnp.concatenate(pools, axis=1)
+    ).astype(out_ref.dtype)
 
     # ---- 8. reference fill-with-first on the index output -----------------
     fill = jnp.where(totals >= 1.0, merged_idx[:, 0:1], 0)
@@ -730,9 +765,11 @@ def sa_stage(
             compute_dtype=compute_dtype,
             tile_s=tile_s,
         )
-        cent_t = jnp.swapaxes(centroids, 1, 2)            # [B, 3, S]
         wspec = lambda a: pl.BlockSpec(
             a.shape, lambda i, j: (0,) * a.ndim, memory_space=pltpu.VMEM
+        )
+        cspec = pl.BlockSpec(
+            (1, tile_s, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         )
         feats_t, idx = pl.pallas_call(
             kernel,
@@ -740,8 +777,7 @@ def sa_stage(
             in_specs=[
                 pl.BlockSpec((1, p * nc, 128), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3, tile_s), lambda i, j: (i, 0, j),
-                             memory_space=pltpu.VMEM),
+                cspec, cspec, cspec,
                 wspec(w1p.T), wspec(b1.reshape(-1, 1)),
                 wspec(w2.T), wspec(b2.reshape(-1, 1)),
                 wspec(w3.T), wspec(b3.reshape(-1, 1)),
@@ -749,22 +785,23 @@ def sa_stage(
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((1, c3, tile_s), lambda i, j: (i, 0, j),
+                pl.BlockSpec((1, tile_s, c3), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tile_s, nsample), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((b, c3, s), jnp.float32),
+                jax.ShapeDtypeStruct((b, s, c3), jnp.float32),
                 jax.ShapeDtypeStruct((b, s, nsample), jnp.int32),
             ),
             interpret=interpret,
         )(
-            planes, cent_t,
+            planes,
+            centroids[..., 0:1], centroids[..., 1:2], centroids[..., 2:3],
             w1p.T, b1.reshape(-1, 1), w2.T, b2.reshape(-1, 1),
             w3.T, b3.reshape(-1, 1), lt,
         )
-        return jnp.swapaxes(feats_t, 1, 2)[:, :s_in], idx[:, :s_in]
+        return feats_t[:, :s_in], idx[:, :s_in]
 
     grid = (b, s // tile_s)
     kernel = functools.partial(

@@ -99,8 +99,8 @@ def env_collision_any(traj: jnp.ndarray, scene) -> jnp.ndarray:
 
     traj: [T, 7]; scene unbatched -> bool []
     """
-    centers = kinematics.collision_spheres(traj)  # [T, 57, 3]
-    radii = jnp.asarray(franka.SPHERE_RADII, traj.dtype)
+    centers = kinematics.scene_collision_spheres(traj)  # [T, 56, 3]
+    radii = jnp.asarray(franka.SCENE_SPHERE_RADII, traj.dtype)
     d = sdf.scene_sdf(centers.reshape(-1, 3)[None], scene)[0]
     d = d.reshape(traj.shape[0], -1)
     return jnp.any(d < radii, axis=(0, 1))
@@ -228,8 +228,8 @@ def _path_cost(
     acc = traj[2:] - 2.0 * traj[1:-1] + traj[:-2]
     smooth = jnp.sum(acc * acc)
     # collision: hinge on sphere clearance along the whole path
-    centers = kinematics.collision_spheres(traj)            # [T, 57, 3]
-    radii = jnp.asarray(franka.SPHERE_RADII, traj.dtype)
+    centers = kinematics.scene_collision_spheres(traj)      # [T, 56, 3]
+    radii = jnp.asarray(franka.SCENE_SPHERE_RADII, traj.dtype)
     d = sdf.scene_sdf(centers.reshape(-1, 3)[None], scene)[0]
     pen = jnp.maximum(radii[None, :] + OPT_MARGIN
                       - d.reshape(traj.shape[0], -1), 0.0)

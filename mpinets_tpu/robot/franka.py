@@ -235,6 +235,17 @@ SPHERE_FRAMES = np.array([s[0] for s in _S], dtype=np.int32)
 SPHERE_CENTERS = np.array([s[1] for s in _S], dtype=np.float64)
 #: Radius of each collision sphere, [57].
 SPHERE_RADII = np.array([s[2] for s in _S], dtype=np.float64)
+
+#: Scene-collision subset: the reference's sphere checks against scene
+#: geometry exclude the base link (``FrankaCollisionSampler(...,
+#: with_base_link=False)``, ``mpinets/model.py:270``, ``loss.py:146`` --
+#: the base is not controllable and its circumscribing sphere dips below
+#: z=0, so it would permanently "collide" with the mount table every
+#: tabletop scene places under the robot).
+SCENE_SPHERE_MASK = SPHERE_FRAMES != FRAME_INDEX["panda_link0"]
+SCENE_SPHERE_FRAMES = SPHERE_FRAMES[SCENE_SPHERE_MASK]
+SCENE_SPHERE_CENTERS = SPHERE_CENTERS[SCENE_SPHERE_MASK]
+SCENE_SPHERE_RADII = SPHERE_RADII[SCENE_SPHERE_MASK]
 NUM_SPHERES = len(_S)
 assert NUM_SPHERES == 57, NUM_SPHERES
 del _S

@@ -67,8 +67,9 @@ def make_validation_fn(
 
         trajs = result.trajectories  # [B, T+1, 7]
         b, t, _ = trajs.shape
-        centers = kinematics.collision_spheres(trajs)  # [B, T+1, 57, 3]
-        radii = jnp.asarray(franka.SPHERE_RADII, trajs.dtype)
+        # FrankaCollisionSampler(with_base_link=False), model.py:270
+        centers = kinematics.scene_collision_spheres(trajs)
+        radii = jnp.asarray(franka.SCENE_SPHERE_RADII, trajs.dtype)
         sdf_vals = sdf.scene_sdf_sequence(
             centers.reshape(b, t, -1, 3), problem.scene
         ).reshape(b, t, -1)
