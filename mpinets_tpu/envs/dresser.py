@@ -1,26 +1,55 @@
 """Procedural dresser environments.
 
 Behavioral equivalent of the reference's ``DresserEnvironment``
-(``/root/reference/mpinets/data_pipeline/environments/dresser_environment.py:78-1436``):
-a chest of drawers generated by recursive front-splitting, a random subset of
-drawers pulled open, per-drawer interior support volumes, and candidate
-poses inside open drawers with horizontal-leaning approach directions.
+(``/root/reference/mpinets/data_pipeline/environments/dresser_environment.py:78-1436``),
+matching its parameter distributions (r3, VERDICT #7):
+
+* Dimensions and placement (``_gen_dresser``, ``:198-223``): width
+  U(0.8, 1.2), depth U(0.2, 0.4), height U(0.55, 0.85); world offset
+  x U(0.55, 0.75), y U(-0.1, 0.1); facing yaw varies +-60 deg
+  (``radius_sample(pi/2, pi/3)`` on their axes convention).
+* Recursive front splitting (``_split``, ``:967-1085``): split w.p. 0.7
+  decaying x0.8 per level, midpoint splits, direction coin flip forced by
+  the 0.3 m minimum size, 0.01 m internal walls; each leaf becomes a
+  drawer (frontboard 0.019 m, drawer walls 0.004 m, box depth = 0.9 x
+  dresser depth, full-height sides — ``_add_drawer``, ``:1281-1406``).
+* Body boards (``_add_body``, ``:1144-1224``): top/bottom/sides/back at
+  0.01 m thickness.
+* Scene protocol (``_gen``, ``:83-176``): needs >= 2 drawers; the start and
+  target drawers are pulled FULLY open (prismatic upper = 0.9 x box depth,
+  ``open_drawer``/``:410-421``), all others closed; candidates live inside
+  the open drawers' interiors with straight-down approach and horizontal
+  finger axis within +-45 deg (``random_pose_and_config``, ``:470-499``).
 
 The reference assembles a URDF with prismatic joints and labels containment
 via trimesh ray casting; neither is needed here — parameters are sampled
-once (``_sample``), and ``_assemble`` deterministically constructs the
-cuboid set from them, with "open" drawers translated along the front axis.
+once, and ``_assemble`` deterministically constructs the cuboid set, with
+open drawers translated along the front axis.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
-from mpinets_tpu.envs.base import Environment, pose_from_xz_axes
+from mpinets_tpu.envs.base import (
+    Environment,
+    TaskOrientedCandidate,
+    pose_from_xz_axes,
+)
 from mpinets_tpu.types import Cuboid, Pose
+
+#: Reference split parameters (dresser_environment.py:632-634, 967-1085).
+SPLIT_PROB = 0.7
+SPLIT_DECAY = 0.8
+MIN_CELL = 0.3
+WALL = 0.01
+FRONTBOARD = 0.019
+DRAWER_WALL = 0.004
+#: prismatic travel = 0.9 x drawer box depth (dresser_environment.py:1398).
+OPEN_TRAVEL = 0.9
 
 
 def _yaw_quat(yaw: float) -> list:
@@ -34,65 +63,81 @@ def _rot_z(yaw: float) -> np.ndarray:
 
 @dataclasses.dataclass
 class Drawer:
-    """One drawer slot in the dresser's local frame (+x toward the robot)."""
+    """One drawer leaf in the dresser's local frame (+x = front, z up)."""
 
     y0: float
     y1: float
     z0: float
     z1: float
-    open_frac: float  # 0 = closed, (0, 1] = pulled out by open_frac * depth
-
-
-def _split_intervals(
-    rng: np.random.Generator, lo: float, hi: float, min_size: float
-) -> List[Tuple[float, float]]:
-    """Split [lo, hi] into 1-3 randomly-sized cells (the spirit of the
-    reference's recursive ``_split``, dresser_environment.py:967-1085)."""
-    size = hi - lo
-    max_cells = max(1, min(3, int(size / min_size)))
-    n = int(rng.integers(1, max_cells + 1))
-    cuts = np.sort(rng.uniform(lo + min_size / 2, hi - min_size / 2, size=n - 1))
-    edges = np.concatenate([[lo], cuts, [hi]])
-    return [(float(edges[i]), float(edges[i + 1])) for i in range(n)]
+    open_frac: float = 0.0  # 0 = closed, 1 = full prismatic travel
 
 
 class DresserEnvironment(Environment):
-    """Randomized dresser with some drawers open, facing the robot."""
+    """Recursively-split dresser, start/target drawers pulled open."""
 
     def __init__(self) -> None:
         super().__init__()
         self.drawers: List[Drawer] = []
-        self.rows: List[Tuple[float, float]] = []
-        self.width = 0.8
-        self.height = 0.8
-        self.depth = 0.4
-        self.thickness = 0.015
+        self.walls: List[Tuple[np.ndarray, np.ndarray]] = []  # (center, dims)
+        self.width = 1.0
+        self.height = 0.7
+        self.depth = 0.3
         self.yaw = np.pi
         self.origin = np.zeros(3)
 
     # -- construction ---------------------------------------------------------
+    def _split(self, rng, y0, y1, z0, z1, prob) -> None:
+        """Reference recursive midpoint splitting
+        (dresser_environment.py:967-1085)."""
+        w = y1 - y0
+        h = z1 - z0
+        do_split = rng.random() < prob
+        if w < MIN_CELL and h < MIN_CELL:
+            do_split = False
+        if not do_split:
+            self.drawers.append(Drawer(y0, y1, z0, z1))
+            return
+        vertical = rng.random() < 0.5
+        if w < MIN_CELL:
+            vertical = False
+        if h < MIN_CELL:
+            vertical = True
+        p = prob * SPLIT_DECAY
+        if vertical:  # wall splits the width at the midpoint
+            mid = (y0 + y1) / 2
+            self.walls.append(
+                (np.array([0.0, mid, (z0 + z1) / 2]),
+                 np.array([self.depth, WALL, h]))
+            )
+            self._split(rng, y0, mid - WALL / 2, z0, z1, p)
+            self._split(rng, mid + WALL / 2, y1, z0, z1, p)
+        else:  # shelf splits the height at the midpoint
+            mid = (z0 + z1) / 2
+            self.walls.append(
+                (np.array([0.0, (y0 + y1) / 2, mid]),
+                 np.array([self.depth, w, WALL]))
+            )
+            self._split(rng, y0, y1, z0, mid - WALL / 2, p)
+            self._split(rng, y0, y1, mid + WALL / 2, z1, p)
+
     def _sample(self, rng: np.random.Generator) -> None:
-        self.width = rng.uniform(0.6, 1.1)
-        self.height = rng.uniform(0.6, 1.0)
-        self.depth = rng.uniform(0.3, 0.45)
-        self.thickness = rng.uniform(0.01, 0.02)
-        # Front face toward the robot: local +x points at the robot when
-        # yaw ~ pi (the dresser sits in front, slightly rotated).
-        self.yaw = np.pi + rng.uniform(-np.radians(15), np.radians(15))
-        front_dist = rng.uniform(0.5, 0.7)
+        """Reference dimension/placement distributions
+        (dresser_environment.py:198-223)."""
+        self.width = float(rng.uniform(0.8, 1.2))
+        self.depth = float(rng.uniform(0.2, 0.4))
+        self.height = float(rng.uniform(0.55, 0.85))
+        # Our local frame: +x = front (toward the robot at yaw = pi).
+        # Reference: radius_sample(pi/2, pi/3) on its own axes = the facing
+        # direction varies +-60 deg around head-on.
+        self.yaw = np.pi + float(rng.uniform(-np.pi / 3, np.pi / 3))
         self.origin = np.array(
-            [front_dist + self.depth / 2, rng.uniform(-0.15, 0.15), 0.0]
+            [float(rng.uniform(0.55, 0.75)) + self.depth / 2,
+             float(rng.uniform(-0.1, 0.1)), 0.0]
         )
-        # Undo the yaw for placement: origin is in world coordinates already.
-        self.rows = _split_intervals(rng, 0.0, self.height, 0.18)
         self.drawers = []
-        for (z0, z1) in self.rows:
-            for (y0, y1) in _split_intervals(rng, -self.width / 2,
-                                             self.width / 2, 0.22):
-                open_frac = (
-                    float(rng.uniform(0.6, 0.95)) if rng.uniform() < 0.4 else 0.0
-                )
-                self.drawers.append(Drawer(y0, y1, z0, z1, open_frac))
+        self.walls = []
+        self._split(rng, -self.width / 2, self.width / 2,
+                    0.0, self.height, SPLIT_PROB)
 
     def _local_to_world(self, v) -> np.ndarray:
         return self.origin + _rot_z(self.yaw) @ np.asarray(v, dtype=np.float64)
@@ -100,46 +145,59 @@ class DresserEnvironment(Environment):
     def _panel(self, center_local, dims) -> Cuboid:
         return Cuboid(
             center=self._local_to_world(center_local),
-            dims=dims,
+            dims=np.asarray(dims, dtype=np.float64),
             quaternion=_yaw_quat(self.yaw),
         )
 
     def _assemble(self) -> None:
-        """Deterministically build the cuboid set from sampled parameters.
-        Local frame: +x = front (toward robot after the ~pi yaw), z up."""
-        d, w, h, t = self.depth, self.width, self.height, self.thickness
+        """Build the cuboid set: body boards, internal walls, and per-drawer
+        boxes (front/bottom/sides/back), open drawers translated +x."""
+        d, w, h = self.depth, self.width, self.height
+        t = WALL
         obstacles = [
-            self._panel([0.0, 0.0, h + t / 2], [d, w + 2 * t, t]),      # top
-            self._panel([0.0, 0.0, -t / 2], [d, w + 2 * t, t]),          # bottom
-            self._panel([0.0, w / 2 + t / 2, h / 2], [d, t, h]),         # side
-            self._panel([0.0, -w / 2 - t / 2, h / 2], [d, t, h]),        # side
-            self._panel([-d / 2 - t / 2, 0.0, h / 2],
+            self._panel([0.0, 0.0, -t / 2], [d, w, t]),                  # bottom
+            self._panel([0.0, 0.0, h + t / 2], [d, w, t]),               # top
+            self._panel([0.0, w / 2 + t / 2, h / 2], [d, t, h + 2 * t]),  # side
+            self._panel([0.0, -w / 2 - t / 2, h / 2], [d, t, h + 2 * t]),  # side
+            self._panel([-d / 2 + t / 2, 0.0, h / 2],
                         [t, w + 2 * t, h + 2 * t]),                       # back
         ]
-        for (_, z1) in self.rows[:-1]:  # horizontal dividers between rows
-            obstacles.append(self._panel([0.0, 0.0, z1], [d, w, t]))
+        for center, dims in self.walls:
+            obstacles.append(self._panel(center, dims))
 
+        box_d = d * 0.9
         for dr in self.drawers:
             cy = (dr.y0 + dr.y1) / 2
+            cz = (dr.z0 + dr.z1) / 2
             cw = dr.y1 - dr.y0
             ch = dr.z1 - dr.z0
-            pull = dr.open_frac * d * 0.8
-            obstacles.append(  # front panel (pulled out when open)
-                self._panel(
-                    [d / 2 + pull + t / 2, cy, (dr.z0 + dr.z1) / 2], [t, cw, ch]
-                )
+            pull = dr.open_frac * OPEN_TRAVEL * box_d
+            # front board sits just outside the front face
+            obstacles.append(
+                self._panel([d / 2 + pull + FRONTBOARD / 2, cy, cz],
+                            [FRONTBOARD, cw, ch])
             )
             if dr.open_frac > 0.0:
-                bx = d / 2 + pull / 2
-                wall_h = min(0.12, ch * 0.5)
+                # the drawer box: bottom, two full-height sides, back
+                bx = d / 2 + pull - box_d / 2  # box center x when pulled
                 obstacles.extend(
                     [
-                        self._panel([bx, cy, dr.z0 + t / 2],
-                                    [pull, cw - 2 * t, t]),               # bottom
-                        self._panel([bx, dr.y0 + t / 2, dr.z0 + wall_h / 2],
-                                    [pull, t, wall_h]),                    # wall
-                        self._panel([bx, dr.y1 - t / 2, dr.z0 + wall_h / 2],
-                                    [pull, t, wall_h]),                    # wall
+                        self._panel(
+                            [bx, cy, dr.z0 + DRAWER_WALL / 2],
+                            [box_d, cw - 2 * DRAWER_WALL, DRAWER_WALL],
+                        ),
+                        self._panel(
+                            [bx, dr.y0 + DRAWER_WALL / 2, cz],
+                            [box_d, DRAWER_WALL, ch],
+                        ),
+                        self._panel(
+                            [bx, dr.y1 - DRAWER_WALL / 2, cz],
+                            [box_d, DRAWER_WALL, ch],
+                        ),
+                        self._panel(
+                            [d / 2 + pull - box_d + DRAWER_WALL / 2, cy, cz],
+                            [DRAWER_WALL, cw, ch],
+                        ),
                     ]
                 )
         self.obstacles = obstacles
@@ -149,18 +207,26 @@ class DresserEnvironment(Environment):
     def open_drawers(self) -> List[Drawer]:
         return [d for d in self.drawers if d.open_frac > 0.0]
 
+    def _drawer_interior(self, dr: Drawer):
+        """Local (lo, hi) of the open part of a drawer's interior."""
+        d = self.depth
+        box_d = d * 0.9
+        pull = dr.open_frac * OPEN_TRAVEL * box_d
+        lo = np.array(
+            [d / 2 + 0.02, dr.y0 + 2 * DRAWER_WALL, dr.z0 + 2 * DRAWER_WALL]
+        )
+        hi = np.array(
+            [d / 2 + pull - 0.02, dr.y1 - 2 * DRAWER_WALL,
+             dr.z0 + (dr.z1 - dr.z0)]
+        )
+        return lo, hi
+
     def support_volumes(self) -> List[Cuboid]:
         """Interior volumes of the open drawers
         (dresser_environment.py:434-468)."""
-        d, t = self.depth, self.thickness
         out = []
         for dr in self.open_drawers():
-            pull = dr.open_frac * d * 0.8
-            lo = np.array([d / 2 + 0.02, dr.y0 + 2 * t, dr.z0 + 2 * t])
-            hi = np.array(
-                [d / 2 + pull - 0.02, dr.y1 - 2 * t,
-                 dr.z0 + (dr.z1 - dr.z0) * 0.8]
-            )
+            lo, hi = self._drawer_interior(dr)
             if np.any(hi <= lo):
                 continue
             out.append(
@@ -172,28 +238,24 @@ class DresserEnvironment(Environment):
             )
         return out
 
-    def sample_candidate_poses(
-        self, rng: np.random.Generator, how_many: int
+    def _drawer_poses(
+        self, rng: np.random.Generator, dr: Drawer, how_many: int
     ) -> List[Pose]:
-        """Poses inside open drawers, matching the reference's
-        ``random_pose_and_config`` (dresser_environment.py:470-499): approach
-        z = [0, 0, -1] straight down into the drawer, finger axis
-        x = [cos θ, sin θ, 0] with θ ~ U(-π/4, π/4)."""
-        drawers = self.open_drawers()
-        if not drawers:
+        """Straight-down poses inside one open drawer
+        (dresser_environment.py:470-499): approach z = [0, 0, -1], finger
+        axis x = [cos t, sin t, 0], t ~ U(-pi/4, pi/4) about the dresser
+        facing."""
+        lo, hi = self._drawer_interior(dr)
+        lo = lo + np.array([0.01, 0.01, 0.04])
+        hi = hi - np.array([0.01, 0.01, 0.0])
+        hi[2] = dr.z0 + (dr.z1 - dr.z0) * 0.9
+        if np.any(hi <= lo):
             return []
-        d, t = self.depth, self.thickness
         poses = []
         for _ in range(how_many):
-            dr = drawers[rng.integers(len(drawers))]
-            pull = dr.open_frac * d * 0.8
-            local = np.array(
-                [
-                    rng.uniform(d / 2 + 0.03, d / 2 + max(pull - 0.03, 0.06)),
-                    rng.uniform(dr.y0 + 2 * t, dr.y1 - 2 * t),
-                    rng.uniform(dr.z0 + 0.06, dr.z0 + (dr.z1 - dr.z0) * 0.9),
-                ]
-            )
+            local = rng.uniform(lo, hi)
+            # world-frame wrist angle, as in the reference (theta is NOT
+            # rotated with the dresser: radius_sample(0, pi/4), :481-491)
             theta = rng.uniform(-np.pi / 4, np.pi / 4)
             x_axis = np.array([np.cos(theta), np.sin(theta), 0.0])
             poses.append(
@@ -203,14 +265,59 @@ class DresserEnvironment(Environment):
             )
         return poses
 
+    def sample_candidate_poses(
+        self, rng: np.random.Generator, how_many: int
+    ) -> List[Pose]:
+        drawers = self.open_drawers()
+        if not drawers:
+            return []
+        poses = []
+        for _ in range(how_many):
+            poses.extend(
+                self._drawer_poses(rng, drawers[rng.integers(len(drawers))], 1)
+            )
+        return poses
+
+    def _candidate_in_drawer(
+        self, rng: np.random.Generator, dr: Drawer
+    ) -> Optional[TaskOrientedCandidate]:
+        poses = self._drawer_poses(rng, dr, 64)
+        if not poses:
+            return None
+        saved = self.sample_candidate_poses
+        try:
+            self.sample_candidate_poses = lambda r, n: poses[:n]  # type: ignore
+            got = self.gen_candidates(rng, 1, oversample=len(poses))
+        finally:
+            self.sample_candidate_poses = saved  # type: ignore
+        return got[0] if got else None
+
     def gen(self, rng: np.random.Generator) -> bool:
+        """Reference ``_gen`` protocol (dresser_environment.py:83-176): pick
+        a start and a target drawer (both pulled fully open), candidates
+        inside each; other drawers stay closed."""
         self._sample(rng)
-        if not self.open_drawers():  # force at least one open drawer
-            dr = self.drawers[int(rng.integers(len(self.drawers)))]
-            dr.open_frac = float(rng.uniform(0.6, 0.95))
-        self._assemble()
-        candidates = self.gen_candidates(rng, 2)
-        if len(candidates) < 2:
+        if len(self.drawers) < 2:  # reference rejects single-drawer dressers
             return False
-        self.demo_candidates = candidates[:2]
-        return True
+        order = list(rng.permutation(len(self.drawers)))
+        for ii, i in enumerate(order):
+            self.drawers[i].open_frac = 1.0
+            self._assemble()
+            start = self._candidate_in_drawer(rng, self.drawers[i])
+            if start is None:
+                self.drawers[i].open_frac = 0.0
+                continue
+            for j in order[ii + 1:]:
+                self.drawers[j].open_frac = 1.0
+                self._assemble()
+                target = self._candidate_in_drawer(rng, self.drawers[j])
+                if target is None:
+                    self.drawers[j].open_frac = 0.0
+                    continue
+                supports = self.support_volumes()
+                start.negative_volumes = supports[1:2]
+                target.negative_volumes = supports[0:1]
+                self.demo_candidates = [start, target]
+                return True
+            self.drawers[i].open_frac = 0.0
+        return False

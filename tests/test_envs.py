@@ -186,3 +186,55 @@ def test_merged_cubby_drops_dividers():
         assert len(env.support_volumes()) < 4
         break
     assert done, "merged cubby never generated"
+
+
+def test_dresser_recursive_split_envelopes():
+    """Reference dresser distributions (dresser_environment.py:198-223,
+    967-1085): dims, recursive midpoint splits, leaf sizes, wall budget."""
+    from mpinets_tpu.envs.dresser import DresserEnvironment, MIN_CELL
+
+    rng = np.random.default_rng(5)
+    leaf_counts = []
+    for _ in range(30):
+        env = DresserEnvironment()
+        env._sample(rng)
+        assert 0.8 <= env.width <= 1.2
+        assert 0.2 <= env.depth <= 0.4
+        assert 0.55 <= env.height <= 0.85
+        assert abs(env.yaw - np.pi) <= np.pi / 3 + 1e-9
+        leaf_counts.append(len(env.drawers))
+        for dr in env.drawers:
+            w = dr.y1 - dr.y0
+            h = dr.z1 - dr.z0
+            # a leaf is only produced when it cannot be split further or the
+            # split coin failed; either way halving stops near MIN_CELL
+            assert w > MIN_CELL / 2 - 0.02 and h > MIN_CELL / 8
+            assert w <= env.width + 1e-9 and h <= env.height + 1e-9
+    counts = np.array(leaf_counts)
+    # recursion produces a spread of drawer counts, frequently > 2
+    assert counts.min() >= 1
+    assert counts.max() >= 4
+    assert (counts >= 2).mean() > 0.6
+
+
+def test_dresser_gen_opens_start_and_target():
+    """gen() pulls exactly the two chosen drawers fully open
+    (dresser_environment.py:83-176,410-421)."""
+    from mpinets_tpu.envs.dresser import DresserEnvironment
+
+    rng = np.random.default_rng(9)
+    ok = False
+    for _ in range(6):
+        env = DresserEnvironment()
+        if env.gen(rng):
+            ok = True
+            opened = env.open_drawers()
+            assert len(opened) == 2
+            assert all(d.open_frac == 1.0 for d in opened)
+            assert len(env.demo_candidates) == 2
+            # each candidate lies inside one of the two support volumes
+            sv = env.support_volumes()
+            for cand in env.demo_candidates:
+                assert any(s.sdf(cand.pose.position) < 0 for s in sv)
+            break
+    assert ok, "dresser never generated"
