@@ -165,6 +165,11 @@ def main(argv=None) -> None:
                              "(default: fused Pallas kernels on TPU)")
     args = parser.parse_args(argv)
 
+    if args.fp32:
+        # Exact-parity mode: TPU "f32" matmuls otherwise run as bf16 MXU
+        # passes (r3 on-chip measurement: 4e-3 output divergence between two
+        # algebraically identical f32 paths at default precision).
+        jax.config.update("jax_default_matmul_precision", "highest")
     model = MotionPolicyNetwork(
         compute_dtype=jnp.float32 if args.fp32 else jnp.bfloat16
     )

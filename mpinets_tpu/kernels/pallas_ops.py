@@ -493,6 +493,7 @@ def _sa_kernel_v5(
     w3t_ref,     # [C3, C2]
     b3t_ref,     # [C3, 1]
     lt_ref,      # [128, 128] lower-triangular ones (bf16)
+    bd_ref,      # [RB, RB] strictly-lower block-diagonal ones (bf16)
     out_ref,     # [1, TS, C3]
     idx_ref,     # [1, TS, ns] selected indices (int32)
     *,
@@ -502,6 +503,7 @@ def _sa_kernel_v5(
     num_planes: int,
     compute_dtype,
     tile_s: int,
+    debug_stop: int = 0,
 ):
     """Lane-layout SA kernel (v5).
 
@@ -555,19 +557,24 @@ def _sa_kernel_v5(
         parts.append((dx * dx + dy * dy + dz * dz < r2).astype(jnp.bfloat16))
     in_ball = jnp.concatenate(parts, axis=0)             # [rb, 128]
 
-    # ---- 2. inclusive counts (MXU) + chunk offsets (masked roll-scan) -----
+    # ---- 2. inclusive counts + chunk offsets, all on the MXU --------------
+    # The r3 narrow [rb,1] roll-scan cost 81 us/sample (pltpu.roll carries a
+    # large per-op overhead); two matmuls replace it: tot broadcast over
+    # lanes via an all-ones matmul, then base_excl via the strictly-lower
+    # block-diagonal constant. All products are exact (0/1 weights, counts
+    # <= 128 are bf16-exact, f32 accumulation).
     local_cnt = jnp.dot(in_ball, lt_ref[:], preferred_element_type=f32)
-    tot = local_cnt[:, 127:128]                          # [rb, 1]
-    pos_ib = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0) % nc
-    psum = tot
-    step = 1
-    while step < nc:
-        shifted = pltpu.roll(psum, step, 0)
-        psum = psum + jnp.where(pos_ib >= step, shifted, 0.0)
-        step *= 2
-    base_excl = psum - tot
-    base_incl = psum
-    cnt = local_cnt + base_excl                          # [rb, 128] monotone
+    ones128 = (lt_ref[:] * 0 + 1).astype(jnp.bfloat16)
+    tot_b = jnp.dot(
+        in_ball, ones128, preferred_element_type=f32
+    )                                                    # [rb, 128] = tot
+    base_b = jnp.dot(
+        bd_ref[:], tot_b.astype(jnp.bfloat16), preferred_element_type=f32
+    )                                                    # [rb, 128] = base_excl
+    tot = tot_b[:, 0:1]                                  # [rb, 1]
+    base_excl = base_b[:, 0:1]
+    base_incl = base_excl + tot
+    cnt = local_cnt + base_b                             # [rb, 128] monotone
 
     # ---- 3. slot inversion: rounds 1-2 by slice-select, 3-7 by gather -----
     jlane = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 1)
@@ -592,17 +599,44 @@ def _sa_kernel_v5(
     merged_idx = jnp.sum(sel_contrib.reshape(ts, nc, 128), axis=1)  # [ts,128]
     totals = jnp.sum(tot.reshape(ts, nc, 1), axis=1)     # [ts, 1]
 
-    # ---- 5. gather channels per centroid, lane-concat ---------------------
+    c3_out = out_ref.shape[2]
+
+    def _dbg_out(val):
+        out_ref[0] = jnp.broadcast_to(
+            jnp.sum(val).reshape(1, 1), (ts, c3_out)
+        ).astype(out_ref.dtype)
+        idx_ref[0] = merged_idx[:, :ns]
+
+    if debug_stop == 4:  # stages 1-4 (counts, search, masks, indices)
+        _dbg_out(pos.astype(f32) + validf)
+        return
+
+    # ---- 5. channel gather: ONE batched take_along_axis per grid step -----
+    # r3d measurement: tpu.dynamic_gather carries ~0.5-1.7 us of fixed
+    # overhead PER OP -- v3/v5's per-centroid gathers (512 ops/sample at
+    # SA0) were ~850 us of pure op overhead. One big gather over a tiled
+    # table amortizes it to ~16 ops/sample.
     planes_g = planes.astype(f32)
-    blocks = []
-    for g in range(ts):
-        pos_g = pos[g * nc : (g + 1) * nc]
-        val_g = validf[g * nc : (g + 1) * nc]
-        gidx = jnp.broadcast_to(pos_g, (p, nc, 128)).reshape(p * nc, 128)
-        gmask = jnp.broadcast_to(val_g, (p, nc, 128)).reshape(p * nc, 128)
-        gat = jnp.take_along_axis(planes_g, gidx, axis=1) * gmask
-        blocks.append(jnp.sum(gat.reshape(p, nc, 128), axis=1))  # [p, 128]
-    raw_lanes = jnp.concatenate(blocks, axis=1)          # [p, ts*128]
+    table = jnp.broadcast_to(
+        planes_g[None], (ts, p * nc, 128)
+    ).reshape(ts * p * nc, 128)
+    gidx = jnp.broadcast_to(
+        pos.reshape(ts, 1, nc, 128), (ts, p, nc, 128)
+    ).reshape(ts * p * nc, 128)
+    gmask = jnp.broadcast_to(
+        validf.reshape(ts, 1, nc, 128), (ts, p, nc, 128)
+    ).reshape(ts * p * nc, 128)
+    gat = jnp.take_along_axis(table, gidx, axis=1) * gmask
+    merged = jnp.sum(gat.reshape(ts, p, nc, 128), axis=2)  # [ts, p, 128]
+    if debug_stop == 5:  # + batched channel gather/merge
+        _dbg_out(merged)
+        return
+    raw_lanes = jnp.concatenate(
+        [merged[g] for g in range(ts)], axis=1
+    )                                                    # [p, ts*128]
+    if debug_stop == 55:  # + lane-concat
+        _dbg_out(raw_lanes)
+        return
 
     # ---- 6. per-centroid lane columns (recentre bias, fix, valid) ---------
     w1t = w1t_ref[:, :p].astype(cdt)
@@ -636,6 +670,9 @@ def _sa_kernel_v5(
     bc_lanes = jnp.concatenate(bc_blocks, axis=1)        # [c1, ts*128]
     fix = jnp.concatenate(fix_blocks, axis=1)            # [c1, ts*128]
     vmask = jnp.concatenate(vmask_blocks, axis=1)        # [1, ts*128]
+    if debug_stop == 6:  # + per-centroid bc/fix/vmask lane columns
+        _dbg_out(bc_lanes + fix + vmask.astype(f32) + raw_lanes[0:1])
+        return
 
     # ---- 7. transposed MLP + masked lane-window max-pool ------------------
     h1 = (
@@ -664,6 +701,9 @@ def _sa_kernel_v5(
         + b3t_ref[:].astype(f32),
         0,
     )                                                    # [c3, ts*128] f32
+    if debug_stop == 7:  # + the three MLP matmuls
+        _dbg_out(h)
+        return
     h = jnp.where(vmask, h, -jnp.inf)
     pools = [
         jnp.max(h[:, g * ns : (g + 1) * ns], axis=1, keepdims=True)
@@ -688,11 +728,21 @@ def _lt128() -> jnp.ndarray:
     return (i <= j).astype(jnp.bfloat16)  # column j counts lanes <= j
 
 
+def _bd_strict(ts: int, nc: int) -> jnp.ndarray:
+    """[rb, rb] strictly-lower block-diagonal ones: row (g,k) sums the tots
+    of chunks k' < k of the same centroid g (the MXU prefix constant)."""
+    rb = ts * nc
+    i = jax.lax.broadcasted_iota(jnp.int32, (rb, rb), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (rb, rb), 1)
+    same_block = (i // nc) == (j // nc)
+    return (same_block & (j < i)).astype(jnp.bfloat16)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "radius", "nsample", "compute_dtype", "interpret", "tile_s",
-        "gather16", "impl",
+        "gather16", "impl", "debug_stop",
     ),
 )
 def sa_stage(
@@ -709,6 +759,7 @@ def sa_stage(
     tile_s: int = _TS,
     gather16: bool = False,
     impl: str = "v3",
+    debug_stop: int = 0,
 ):
     """Fused SA stage. Returns (features [B, S, C3] f32, idx [B, S, nsample]).
 
@@ -764,6 +815,7 @@ def sa_stage(
             num_planes=p,
             compute_dtype=compute_dtype,
             tile_s=tile_s,
+            debug_stop=debug_stop,
         )
         wspec = lambda a: pl.BlockSpec(
             a.shape, lambda i, j: (0,) * a.ndim, memory_space=pltpu.VMEM
@@ -783,6 +835,8 @@ def sa_stage(
                 wspec(w3.T), wspec(b3.reshape(-1, 1)),
                 pl.BlockSpec((128, 128), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_s * nc, tile_s * nc),
+                             lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec((1, tile_s, c3), lambda i, j: (i, j, 0),
@@ -799,7 +853,7 @@ def sa_stage(
             planes,
             centroids[..., 0:1], centroids[..., 1:2], centroids[..., 2:3],
             w1p.T, b1.reshape(-1, 1), w2.T, b2.reshape(-1, 1),
-            w3.T, b3.reshape(-1, 1), lt,
+            w3.T, b3.reshape(-1, 1), lt, _bd_strict(tile_s, nc),
         )
         return feats_t[:, :s_in], idx[:, :s_in]
 

@@ -174,6 +174,7 @@ def gen(
     include_neutral: bool = False,
     seed: int = 0,
     inference_pkl=None,
+    time_budget_s: float | None = None,
 ) -> dict:
     """Generate ``num_scenes`` scenes worth of verified expert data into
     ``output_dir/all_data.hdf5``; optionally dump hindsight inference
@@ -184,8 +185,14 @@ def gen(
     scene_files = []
     problems: List[T.PlanningProblem] = []
     total = {"scenes": 0, "pairs": 0, "valid": 0}
+    import time as _time
+    t_start = _time.time()
 
     for s in range(num_scenes):
+        if time_budget_s is not None and _time.time() - t_start > time_budget_s:
+            print(f"wall-clock budget reached after {total['scenes']} scenes",
+                  flush=True)
+            break
         env = ENVS[scene_type]()
         if not env.gen(rng):
             continue
@@ -195,6 +202,9 @@ def gen(
         total["scenes"] += 1
         total["pairs"] += stats["pairs"]
         total["valid"] += stats["valid"]
+        for k, v in stats.items():
+            if k not in ("pairs", "valid"):
+                total[k] = total.get(k, 0) + v
         fails = {k: v for k, v in stats.items()
                  if k not in ("pairs", "valid") and v}
         print(
