@@ -71,12 +71,12 @@ def fused_policy_apply(
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
     sa_npoints: tuple = (512, 128),
-    sa_tiles: tuple = (32, 32),
-    fps_tile: int = 32,
+    sa_tiles: tuple = (16, 16),
+    fps_tile: int = 128,
     bf16_cloud: bool = False,
     fps_impl: str = "v1",
     gather16: bool = False,
-    sa_impl: str = "v3",
+    sa_impl: str = "v5",
 ) -> jnp.ndarray:
     """Delta-q prediction, numerically equivalent to ``model.apply``.
 
@@ -154,17 +154,17 @@ def make_fused_apply(
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
     sa_npoints: tuple = (512, 128),
-    sa_tiles: tuple = (32, 32),
-    fps_tile: int = 32,
+    sa_tiles: tuple = (16, 16),
+    fps_tile: int = 128,
     bf16_cloud: bool = False,
     fps_impl: str = "v1",
     gather16: bool = False,
-    sa_impl: str = "v3",
+    sa_impl: str = "v5",
 ):
     """(variables, xyz, q) -> dq, matching the model.apply signature.
 
-    Tile defaults are the on-chip sweep winners (r2: SA0 64~=32>16>8,
-    SA1 32>16>8, FPS batch-tile 32>8~=16).
+    Defaults are the r3 on-chip sweep winners: the v6 SA kernel (batched
+    gather + MXU prefix, impl name "v5"), SA tiles 16, FPS batch-tile 128.
     """
 
     def apply(variables, point_cloud, q_norm):
