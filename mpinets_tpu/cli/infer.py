@@ -73,7 +73,20 @@ def evaluate_problem_set(
     model: MotionPolicyNetwork | None = None,
     use_depth: bool = False,
     fused: bool | None = None,
+    b1_timing: bool = False,
 ) -> Evaluator:
+    """Batched evaluation of a ProblemSet with the reference's Evaluator
+    semantics.
+
+    Timing semantics: the reference measures each problem's planning time as
+    the wall-clock of its OWN batch-1 GPU rollout (``run_inference.py:
+    287-303``). Lockstep batching amortizes compute, so by default ``time``
+    is the batch wall-clock attributed as step-weighted shares (a
+    throughput-oriented number, systematically ~batch-size lower than the
+    reference's). ``b1_timing=True`` restores the reference semantics: a
+    one-off batch-1 long-vs-short differential measures the per-step
+    batch-1 cost and ``time_i = num_steps_i * per_step_b1``.
+    """
     model = model or MotionPolicyNetwork(compute_dtype=jnp.bfloat16)
     # Fast path by default on TPU: the Pallas fused forward
     # (mpinets_tpu.model.fused) replaces the plain model.apply inside the
@@ -95,6 +108,26 @@ def evaluate_problem_set(
     rollout = make_rollout_fn(model, max_steps=max_steps, apply_fn=apply_fn)
     evaluator = Evaluator()
     rng = jax.random.PRNGKey(0)
+
+    per_step_b1 = None
+    if b1_timing:
+        from mpinets_tpu.data.synthetic import random_problem_batch
+
+        cal_prob = random_problem_batch(jax.random.fold_in(rng, 999), 1)
+        short = make_rollout_fn(model, max_steps=5, stop_on_success=False,
+                                record_trajectory=False, apply_fn=apply_fn)
+        long = make_rollout_fn(model, max_steps=25, stop_on_success=False,
+                               record_trajectory=False, apply_fn=apply_fn)
+        for fn in (short, long):  # compile + settle
+            np.asarray(fn(params, cal_prob, rng).final_q)
+        t0 = time.perf_counter()
+        np.asarray(short(params, cal_prob, rng).final_q)
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(long(params, cal_prob, rng).final_q)
+        t_l = time.perf_counter() - t0
+        per_step_b1 = max((t_l - t_s) / 20.0, 1e-6)
+        print(f"# batch-1 per-step time: {per_step_b1*1e3:.2f} ms", flush=True)
 
     for scene_type, by_type in problem_set.items():
         if scene_filter != "all" and scene_type != scene_filter:
@@ -132,7 +165,10 @@ def evaluate_problem_set(
                 wall = time.perf_counter() - t0
                 num_steps = np.asarray(result.num_steps)
                 total_steps = max(int(num_steps.sum()), 1)
-                times = wall * num_steps / total_steps
+                if per_step_b1 is not None:
+                    times = num_steps * per_step_b1  # reference B=1 semantics
+                else:
+                    times = wall * num_steps / total_steps
                 evaluator.evaluate_batch(
                     np.asarray(result.trajectories),
                     num_steps,
@@ -163,6 +199,10 @@ def main(argv=None) -> None:
     parser.add_argument("--no-fused", action="store_true",
                         help="force the plain-XLA model.apply rollout path "
                              "(default: fused Pallas kernels on TPU)")
+    parser.add_argument("--b1-timing", action="store_true",
+                        help="report per-problem 'time' with the reference's "
+                             "batch-1 wall-clock semantics (one extra "
+                             "calibration compile)")
     args = parser.parse_args(argv)
 
     if args.fp32:
@@ -179,6 +219,7 @@ def main(argv=None) -> None:
         params, problem_set, args.scene_type, args.problem_type,
         batch_size=args.batch_size, max_problems=args.max_problems, model=model,
         use_depth=args.use_depth, fused=False if args.no_fused else None,
+        b1_timing=args.b1_timing,
     )
     print("\n== overall ==")
     evaluator.print_overall_metrics()

@@ -616,23 +616,30 @@ def _sa_kernel_v5(
     # overhead PER OP -- v3/v5's per-centroid gathers (512 ops/sample at
     # SA0) were ~850 us of pure op overhead. One big gather over a tiled
     # table amortizes it to ~16 ops/sample.
+    # Row order (g, ch, k): the table is ts stacked copies of the planes,
+    # indices/masks repeat each centroid's chunk rows p times. Everything is
+    # built from 2D concats and consumed via 3D major-split reshape-sums —
+    # the 4D broadcast_to/reshape formulation lowered into ~500 us/sample of
+    # Mosaic relayouts (r3f ablation).
     planes_g = planes.astype(f32)
-    table = jnp.broadcast_to(
-        planes_g[None], (ts, p * nc, 128)
-    ).reshape(ts * p * nc, 128)
-    gidx = jnp.broadcast_to(
-        pos.reshape(ts, 1, nc, 128), (ts, p, nc, 128)
-    ).reshape(ts * p * nc, 128)
-    gmask = jnp.broadcast_to(
-        validf.reshape(ts, 1, nc, 128), (ts, p, nc, 128)
-    ).reshape(ts * p * nc, 128)
+    table = jnp.concatenate([planes_g] * ts, axis=0)     # [ts*p*nc, 128]
+    rep_idx, rep_mask = [], []
+    for g in range(ts):
+        pg = pos[g * nc : (g + 1) * nc]
+        vg = validf[g * nc : (g + 1) * nc]
+        rep_idx.extend([pg] * p)
+        rep_mask.extend([vg] * p)
+    gidx = jnp.concatenate(rep_idx, axis=0)              # [ts*p*nc, 128]
+    gmask = jnp.concatenate(rep_mask, axis=0)
     gat = jnp.take_along_axis(table, gidx, axis=1) * gmask
-    merged = jnp.sum(gat.reshape(ts, p, nc, 128), axis=2)  # [ts, p, 128]
+    merged = jnp.sum(
+        gat.reshape(ts * p, nc, 128), axis=1
+    )                                                    # [(g,ch), 128]
     if debug_stop == 5:  # + batched channel gather/merge
         _dbg_out(merged)
         return
     raw_lanes = jnp.concatenate(
-        [merged[g] for g in range(ts)], axis=1
+        [merged[g * p : (g + 1) * p] for g in range(ts)], axis=1
     )                                                    # [p, ts*128]
     if debug_stop == 55:  # + lane-concat
         _dbg_out(raw_lanes)

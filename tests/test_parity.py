@@ -141,3 +141,49 @@ def test_closed_loop_rollout_parity(models):
             unnormalize_franka_joints(qn_j), sub, 256
         )
         xyz = xyz.at[:, :256, :3].set(robot)
+
+
+@pytest.mark.slow
+def test_closed_loop_rollout_parity_deep_tiered(models):
+    """The SURVEY §7 tolerance ladder over a DEEP compounding rollout
+    (40 steps, 2048-point clouds): per-step q drift is checked against three
+    tiers — bitwise, 1e-5, and a metric-level bound — and the test reports
+    which tier each step lands in. The exact-match contract with the
+    published checkpoint is 150 steps at 6272 points; this pins the
+    compounding behavior at the largest CPU-feasible shape."""
+    oracle, model, variables = models
+    pc = _rand_cloud(6, 2, 2048)
+    rng = np.random.default_rng(7)
+    qn_j = jnp.asarray(rng.uniform(-0.5, 0.5, size=(2, 7)).astype(np.float32))
+    qn_t = torch.from_numpy(np.asarray(qn_j))
+
+    apply = jax.jit(model.apply)
+    xyz = jnp.asarray(pc)
+    key = jax.random.PRNGKey(13)
+    tiers = []  # per-step: 0 = bitwise, 1 = <=1e-5, 2 = <=metric bound
+    METRIC_BOUND = 2e-3  # ~0.006 rad ~ 0.35 deg per joint: far below the
+    # 1 cm / 15 deg success tolerances the metrics quantize to
+    for step in range(40):
+        delta_j = apply(variables, xyz, qn_j)
+        with torch.no_grad():
+            delta_t = oracle(torch.from_numpy(np.asarray(xyz)), qn_t)
+        qn_j = jnp.clip(qn_j + delta_j, -1.0, 1.0)
+        qn_t = torch.clamp(qn_t + delta_t, -1.0, 1.0)
+        err = float(np.abs(np.asarray(qn_j) - qn_t.numpy()).max())
+        if err == 0.0:
+            tiers.append(0)
+        elif err <= 1e-5:
+            tiers.append(1)
+        else:
+            tiers.append(2)
+            assert err <= METRIC_BOUND, (
+                f"step {step}: drift {err:.2e} beyond the metric tier"
+            )
+        key, sub = jax.random.split(key)
+        robot = sampler.sample_robot_points(
+            unnormalize_franka_joints(qn_j), sub, 512
+        )
+        xyz = xyz.at[:, :512, :3].set(robot)
+    # early steps must hold the tight tier; report the ladder profile
+    assert all(t <= 1 for t in tiers[:5]), tiers[:5]
+    print("tier profile (0=bitwise,1=1e-5,2=metric):", tiers)
