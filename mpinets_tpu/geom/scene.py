@@ -212,6 +212,17 @@ def pack_scenes(
     assert len(cylinders_per_scene) == b
     m1 = max(1, max_cuboids or max((len(c) for c in cuboids_per_scene), default=1))
     m2 = max(1, max_cylinders or max((len(c) for c in cylinders_per_scene), default=1))
+    if max_cuboids is None:
+        # Bucket the padded sizes (multiples of 8) so consecutive scenes with
+        # nearby primitive counts share one jit compilation: per-scene exact
+        # padding recompiled every downstream jit per unique count, which in
+        # long generation runs accumulated enough XLA:CPU JIT code to exhaust
+        # process memory maps (r3: "LLVM compilation error: Cannot allocate
+        # memory" after ~30 scenes). Zero-volume padding is semantically
+        # inert everywhere (reference convention, data_loader.py:198-235).
+        m1 = -(-m1 // 8) * 8
+    if max_cylinders is None:
+        m2 = -(-m2 // 8) * 8
 
     cc = np.zeros((b, m1, 3), dtype)
     cd = np.zeros((b, m1, 3), dtype)

@@ -193,6 +193,10 @@ def gen(
             print(f"wall-clock budget reached after {total['scenes']} scenes",
                   flush=True)
             break
+        if total["scenes"] and total["scenes"] % 10 == 0:
+            # bound XLA:CPU JIT code accumulation over long runs (each new
+            # padded scene shape compiles fresh executables)
+            jax.clear_caches()
         env = ENVS[scene_type]()
         if not env.gen(rng):
             continue
