@@ -576,16 +576,40 @@ def _sa_kernel_v5(
     base_incl = base_excl + tot
     cnt = local_cnt + base_b                             # [rb, 128] monotone
 
-    # ---- 3. slot inversion: rounds 1-2 by slice-select, 3-7 by gather -----
+    # ---- 3. slot inversion: rounds 1-4 by slice-select, 5-7 by gather -----
+    # The probe of round k ranges over 2^(k-1) static columns; a select tree
+    # over static slices beats a dynamic gather up to ~8 leaves (a gather op
+    # costs ~a dozen vector ops' worth, r3d measurement).
     jlane = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 1)
     jf = jlane.astype(f32)
-    c63 = cnt[:, 63:64]
-    lo = jnp.where(c63 <= jf, 64, 0)
-    c31 = cnt[:, 31:32]
-    c95 = cnt[:, 95:96]
-    g2 = jnp.where(lo > 0, c95, c31)
+    col = lambda v: cnt[:, v : v + 1]
+    lo = jnp.where(col(63) <= jf, 64, 0)
+    g2 = jnp.where(lo > 0, col(95), col(31))
     lo = jnp.where(g2 <= jf, lo + 32, lo)
-    for step in (16, 8, 4, 2, 1):
+    b64 = lo >= 64
+    b32 = (lo & 32) > 0
+    g3 = jnp.where(
+        b64,
+        jnp.where(b32, col(111), col(79)),
+        jnp.where(b32, col(47), col(15)),
+    )
+    lo = jnp.where(g3 <= jf, lo + 16, lo)
+    b16 = (lo & 16) > 0
+    g4 = jnp.where(
+        b64,
+        jnp.where(
+            b32,
+            jnp.where(b16, col(119), col(103)),
+            jnp.where(b16, col(87), col(71)),
+        ),
+        jnp.where(
+            b32,
+            jnp.where(b16, col(55), col(39)),
+            jnp.where(b16, col(23), col(7)),
+        ),
+    )
+    lo = jnp.where(g4 <= jf, lo + 8, lo)
+    for step in (4, 2, 1):
         probe = lo + (step - 1)
         gathered = jnp.take_along_axis(cnt, probe, axis=1)
         lo = jnp.where(gathered <= jf, lo + step, lo)
@@ -749,7 +773,7 @@ def _bd_strict(ts: int, nc: int) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "radius", "nsample", "compute_dtype", "interpret", "tile_s",
-        "gather16", "impl", "debug_stop",
+        "gather16", "impl", "debug_stop", "pad_chunks",
     ),
 )
 def sa_stage(
@@ -767,8 +791,14 @@ def sa_stage(
     gather16: bool = False,
     impl: str = "v3",
     debug_stop: int = 0,
+    pad_chunks: bool = False,
 ):
-    """Fused SA stage. Returns (features [B, S, C3] f32, idx [B, S, nsample]).
+    """Fused SA stage.
+
+    ``pad_chunks=True`` pads the point count to a multiple of 1024 so the
+    chunk count is a multiple of 8 and every in-kernel chunk-row slice is
+    sublane-aligned (trades ~14% extra lanes at N=6272 for relayout-free
+    slicing; measure per shape). Returns (features [B, S, C3] f32, idx [B, S, nsample]).
 
     ``impl="v5"`` selects the lane-layout kernel (:func:`_sa_kernel_v5`),
     numerically equivalent; ``gather16`` applies to v3 only.
@@ -791,7 +821,7 @@ def sa_stage(
     assert nsample == 128, "slot layout assumes ns == 128"
     # Pad points to a chunk multiple with far-away coordinates (never
     # in-ball) and centroids to a tile multiple (outputs sliced off).
-    pad_n = (-n) % 128
+    pad_n = (-n) % (1024 if (pad_chunks and impl == "v5") else 128)
     if pad_n:
         xyz = jnp.pad(xyz, ((0, 0), (0, pad_n), (0, 0)), constant_values=1e6)
         features = jnp.pad(features, ((0, 0), (0, pad_n), (0, 0)))
