@@ -576,40 +576,17 @@ def _sa_kernel_v5(
     base_incl = base_excl + tot
     cnt = local_cnt + base_b                             # [rb, 128] monotone
 
-    # ---- 3. slot inversion: rounds 1-4 by slice-select, 5-7 by gather -----
-    # The probe of round k ranges over 2^(k-1) static columns; a select tree
-    # over static slices beats a dynamic gather up to ~8 leaves (a gather op
-    # costs ~a dozen vector ops' worth, r3d measurement).
+    # ---- 3. slot inversion: rounds 1-2 by slice-select, 3-7 by gather -----
+    # Rounds 1-2 probe 1-2 static columns (free slices); deeper select
+    # trees were MEASURED SLOWER than the gathers they replace (r3h: the
+    # round-3/4 trees cost +63 us/sample vs 5 plain gather rounds).
     jlane = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 1)
     jf = jlane.astype(f32)
     col = lambda v: cnt[:, v : v + 1]
     lo = jnp.where(col(63) <= jf, 64, 0)
     g2 = jnp.where(lo > 0, col(95), col(31))
     lo = jnp.where(g2 <= jf, lo + 32, lo)
-    b64 = lo >= 64
-    b32 = (lo & 32) > 0
-    g3 = jnp.where(
-        b64,
-        jnp.where(b32, col(111), col(79)),
-        jnp.where(b32, col(47), col(15)),
-    )
-    lo = jnp.where(g3 <= jf, lo + 16, lo)
-    b16 = (lo & 16) > 0
-    g4 = jnp.where(
-        b64,
-        jnp.where(
-            b32,
-            jnp.where(b16, col(119), col(103)),
-            jnp.where(b16, col(87), col(71)),
-        ),
-        jnp.where(
-            b32,
-            jnp.where(b16, col(55), col(39)),
-            jnp.where(b16, col(23), col(7)),
-        ),
-    )
-    lo = jnp.where(g4 <= jf, lo + 8, lo)
-    for step in (4, 2, 1):
+    for step in (16, 8, 4, 2, 1):
         probe = lo + (step - 1)
         gathered = jnp.take_along_axis(cnt, probe, axis=1)
         lo = jnp.where(gathered <= jf, lo + step, lo)

@@ -104,7 +104,7 @@ def fused_policy_apply(
         xyz, feat, cent0, w1, b1, w2, b2, w3, b3,
         radius=SA0["radius"], nsample=SA0["nsample"],
         compute_dtype=cdt, interpret=interpret, tile_s=sa_tiles[0],
-        gather16=gather16, impl=sa_impl,
+        gather16=gather16, impl=sa_impl, pad_chunks=sa_impl == "v5",
     )
 
     # ---- SA1: 512 -> 128 centroids, 256-dim features ----------------------
