@@ -203,4 +203,5 @@ def test_problems_to_batch(tmp_path):
     prob = batch["problem"]
     assert prob.q0.shape == (2, 7)
     assert prob.target_rot.shape == (2, 3, 3)
-    assert batch["target_volumes"].cuboid_dims.shape == (2, 1, 3)
+    # padded sizes are bucketed to multiples of 8 (shared jit shapes)
+    assert batch["target_volumes"].cuboid_dims.shape == (2, 8, 3)
