@@ -260,7 +260,10 @@ def optimize_trajectory(
         init = min_jerk_interp(q_start, q_goal, OPT_PATH_LEN)
     interior0 = init[1:-1]
     grad_fn = jax.grad(_path_cost)
+    # shrink the clamp range slightly: waypoints clamped EXACTLY to a limit
+    # would fail the strict within-limits verification predicate
     lim = jnp.asarray(franka.REAL_JOINT_LIMITS, q_start.dtype)
+    lim = lim.at[:, 0].add(1e-4).at[:, 1].add(-1e-4)
 
     def body(carry, _):
         interior, m = carry
@@ -276,6 +279,34 @@ def optimize_trajectory(
     return jnp.concatenate([q_start[None], interior, q_goal[None]], axis=0)
 
 
+def _via_init(q_start, via, q_goal):
+    """Two-segment min-jerk seed through a via configuration."""
+    half = OPT_PATH_LEN // 2 + 1
+    a = min_jerk_interp(q_start, via, half)
+    b = min_jerk_interp(via, q_goal, OPT_PATH_LEN - half + 1)
+    return jnp.concatenate([a, b[1:]], axis=0)
+
+
+def _try_optimized(q_start, q_goal, target_rot, target_trans, scene, init):
+    """One optimizer restart: optimize, dense-verify, retime, final-verify.
+    Returns (traj [SEQUENCE_LENGTH, 7], valid)."""
+    opt = optimize_trajectory(q_start, q_goal, scene, init=init)
+    t = jnp.linspace(0.0, OPT_PATH_LEN - 1.0, DENSE_STEPS)
+    lo = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, OPT_PATH_LEN - 2)
+    frac = (t - lo)[:, None]
+    dense_opt = opt[lo] * (1.0 - frac) + opt[lo + 1] * frac
+    res = verify_trajectory(dense_opt, target_rot, target_trans, scene)
+    ok = (
+        (res.miss <= MISS_TOLERANCE)
+        & ~res.has_self_collision
+        & ~res.has_env_collision
+        & res.within_limits
+    )
+    traj = constant_velocity_retime(dense_opt)
+    final = verify_trajectory(traj, target_rot, target_trans, scene)
+    return traj, ok & final.valid
+
+
 @functools.partial(jax.jit, static_argnames=())
 def plan_pair_optimized(
     q_start: jnp.ndarray,
@@ -284,33 +315,39 @@ def plan_pair_optimized(
     target_trans: jnp.ndarray,
     scene,
 ) -> PlanResult:
-    """Full planning attempt: smooth family first, then the SDF-cost
-    optimizer seeded from the best family member when none verifies.
-    vmap over pairs for batched generation."""
+    """Full planning attempt: smooth family first, then MULTI-RESTART
+    SDF-cost optimization (straight-line seed plus two via-configuration
+    seeds). The via restarts stand in for the reference's sampling-based
+    global planner on scenes where the straight-line basin is blocked --
+    e.g. cubby pocket-to-pocket transfers, which must retract out of the
+    start pocket before re-entering (r3 at-scale measurement: cubby
+    valid-rate was 26.8% with the single straight-line seed,
+    env-collision-dominated). vmap over pairs for batched generation."""
     family = plan_pair(q_start, q_goal, target_rot, target_trans, scene)
 
-    opt = optimize_trajectory(q_start, q_goal, scene)
-    dense = min_jerk_interp(
-        jnp.zeros_like(q_start), jnp.ones_like(q_start), DENSE_STEPS
-    )  # time profile 0..1 reused for upsampling the optimized path
-    # piecewise-linear upsample of the optimized path for dense verification
-    t = jnp.linspace(0.0, OPT_PATH_LEN - 1.0, DENSE_STEPS)
-    lo = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, OPT_PATH_LEN - 2)
-    frac = (t - lo)[:, None]
-    dense_opt = opt[lo] * (1.0 - frac) + opt[lo + 1] * frac
-    del dense
-    res = verify_trajectory(dense_opt, target_rot, target_trans, scene)
-    ok_opt = (
-        (res.miss <= MISS_TOLERANCE)
-        & ~res.has_self_collision
-        & ~res.has_env_collision
-        & res.within_limits
-    )
-    traj_opt = constant_velocity_retime(dense_opt)
-    final_opt = verify_trajectory(traj_opt, target_rot, target_trans, scene)
+    neutral = jnp.asarray(franka.NEUTRAL_Q, q_start.dtype)
+    retract = 0.5 * (q_start + q_goal)
+    # a retract via: shoulder/elbow pulled toward neutral, wrist averaged
+    retract = retract.at[1].set(neutral[1]).at[3].set(neutral[3])
+    seeds = [
+        min_jerk_interp(q_start, q_goal, OPT_PATH_LEN),
+        _via_init(q_start, neutral, q_goal),
+        _via_init(q_start, retract, q_goal),
+    ]
+    traj_opt = jnp.zeros((SEQUENCE_LENGTH, q_start.shape[-1]), q_start.dtype)
+    valid_opt = jnp.asarray(False)
+    which_opt = jnp.asarray(99, jnp.int32)
+    for i, seed in enumerate(seeds):
+        traj_i, ok_i = _try_optimized(
+            q_start, q_goal, target_rot, target_trans, scene, seed
+        )
+        take = ok_i & ~valid_opt
+        traj_opt = jnp.where(take, traj_i, traj_opt)
+        which_opt = jnp.where(take, 99 + i, which_opt)
+        valid_opt = valid_opt | ok_i
 
     use_family = family.valid
     traj = jnp.where(use_family, family.trajectory, traj_opt)
-    valid = family.valid | (ok_opt & final_opt.valid)
-    which = jnp.where(use_family, family.which, 99)
+    valid = family.valid | valid_opt
+    which = jnp.where(use_family, family.which, which_opt)
     return PlanResult(traj, valid, which.astype(jnp.int32))
