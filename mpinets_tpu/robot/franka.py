@@ -282,9 +282,14 @@ def _self_collision_pairs() -> np.ndarray:
     }
     # SRDF-style extra exclusions (links that are adjacent in space despite
     # being >1 apart in the chain; the Panda SRDF disables these checks).
+    # r3 calibration against the independent capsule proxy
+    # (scripts/selfcc_calibration.py) showed the r2 set wrongly excluded
+    # link4/5-vs-hand/fingertips -- the hand folding onto the forearm is the
+    # Panda's MOST COMMON physical self-collision mode (15% of uniform
+    # random configs per the proxy) and the real SRDF keeps those checks.
     extra_excluded = {
         (0, 2), (1, 3), (2, 4), (3, 5), (4, 6), (5, 7), (6, 8), (6, 9),
-        (7, 9), (5, 8), (5, 9), (4, 8), (4, 9), (3, 7), (3, 8),
+        (7, 9),
     }
     pairs = []
     for i in range(NUM_SPHERES):
