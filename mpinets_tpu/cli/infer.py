@@ -52,9 +52,14 @@ def load_params(path: str, model: MotionPolicyNetwork):
         )
         step_dir = ckpt_mod.latest_checkpoint(p) or p
         restored = ckpt_mod.restore_checkpoint(step_dir, None)
-        if isinstance(restored, dict) and "params" in restored:
-            return restored
-        # TrainState layout: take .params
+        if isinstance(restored, dict):
+            if "opt_state" in restored or "step" in restored:
+                # serialized TrainState dict: {step, params: {params: ...},
+                # opt_state}; the flax variables are the inner "params" tree
+                return restored["params"]
+            if "params" in restored:
+                return restored
+        # TrainState object layout: take .params
         if hasattr(restored, "params"):
             return restored.params
         del example
