@@ -457,7 +457,8 @@ def _sa_kernel(
         + b1_ref[:].astype(f32)
         - b_rep
     )
-    h1 = jnp.where(jnp.isnan(fix), h1, fix)
+    if fix is not None:
+        h1 = jnp.where(jnp.isnan(fix), h1, fix)
     h = jnp.maximum(h1, 0).astype(cdt)
     h = jnp.maximum(
         jnp.dot(h, w2_ref[:].astype(cdt), preferred_element_type=f32,
@@ -504,6 +505,7 @@ def _sa_kernel_v5(
     compute_dtype,
     tile_s: int,
     debug_stop: int = 0,
+    centroids_in_cloud: bool = False,
 ):
     """Lane-layout SA kernel (v5).
 
@@ -650,12 +652,13 @@ def _sa_kernel_v5(
     w1t = w1t_ref[:, :p].astype(cdt)
     w1tf = w1t_ref[:, :p].astype(f32)
     c1 = w1t.shape[0]
-    pts0 = [planes[ch * nc, 0].astype(f32) for ch in range(p)]
-    h0_base = b1t_ref[:].astype(f32)                     # [c1, 1]
-    for ch in range(p):
-        h0_base = h0_base + pts0[ch] * w1tf[:, ch : ch + 1]
     slot128 = jax.lax.broadcasted_iota(jnp.int32, (1, ns), 1)
     bc_blocks, fix_blocks, vmask_blocks = [], [], []
+    if not centroids_in_cloud:
+        pts0 = [planes[ch * nc, 0].astype(f32) for ch in range(p)]
+        h0_base = b1t_ref[:].astype(f32)                 # [c1, 1]
+        for ch in range(p):
+            h0_base = h0_base + pts0[ch] * w1tf[:, ch : ch + 1]
     for g in range(ts):
         bg = (
             cxs[g] * w1tf[:, 0:1]
@@ -664,19 +667,27 @@ def _sa_kernel_v5(
         )                                                # [c1, 1]
         bc_blocks.append(jnp.broadcast_to(bg, (c1, ns)))
         tg = totals[g, 0]
-        # count == 0: slot 0 takes point-0's layer-1 row (h0_base - bg)
-        fix_blocks.append(
-            jnp.where(
-                (tg < 0.5) & (slot128 == 0),
-                jnp.broadcast_to(h0_base - bg, (c1, ns)),
-                jnp.nan,
+        if not centroids_in_cloud:
+            # count == 0: slot 0 takes point-0's layer-1 row (h0_base - bg)
+            fix_blocks.append(
+                jnp.where(
+                    (tg < 0.5) & (slot128 == 0),
+                    jnp.broadcast_to(h0_base - bg, (c1, ns)),
+                    jnp.nan,
+                )
             )
-        )
         vmask_blocks.append(
             slot128.astype(f32) < jnp.maximum(tg, 1.0)
         )
     bc_lanes = jnp.concatenate(bc_blocks, axis=1)        # [c1, ts*128]
-    fix = jnp.concatenate(fix_blocks, axis=1)            # [c1, ts*128]
+    # ``centroids_in_cloud=True`` (static): every real centroid is a member
+    # of the point cloud, so its own point is always in-ball and the CUDA
+    # count==0 fallback can never fire for live rows (padded sentinel
+    # centroids are sliced off by the wrapper) -- skip the fix machinery.
+    fix = (
+        None if centroids_in_cloud
+        else jnp.concatenate(fix_blocks, axis=1)         # [c1, ts*128]
+    )
     vmask = jnp.concatenate(vmask_blocks, axis=1)        # [1, ts*128]
     if debug_stop == 6:  # + per-centroid bc/fix/vmask lane columns
         _dbg_out(bc_lanes + fix + vmask.astype(f32) + raw_lanes[0:1])
@@ -691,7 +702,8 @@ def _sa_kernel_v5(
         + b1t_ref[:].astype(f32)
         - bc_lanes
     )
-    h1 = jnp.where(jnp.isnan(fix), h1, fix)
+    if fix is not None:
+        h1 = jnp.where(jnp.isnan(fix), h1, fix)
     h = jnp.maximum(h1, 0).astype(cdt)
     h = jnp.maximum(
         jnp.dot(
@@ -751,6 +763,7 @@ def _bd_strict(ts: int, nc: int) -> jnp.ndarray:
     static_argnames=(
         "radius", "nsample", "compute_dtype", "interpret", "tile_s",
         "gather16", "impl", "debug_stop", "pad_chunks",
+        "centroids_in_cloud",
     ),
 )
 def sa_stage(
@@ -769,6 +782,7 @@ def sa_stage(
     impl: str = "v3",
     debug_stop: int = 0,
     pad_chunks: bool = False,
+    centroids_in_cloud: bool = False,
 ):
     """Fused SA stage.
 
@@ -830,6 +844,7 @@ def sa_stage(
             compute_dtype=compute_dtype,
             tile_s=tile_s,
             debug_stop=debug_stop,
+            centroids_in_cloud=centroids_in_cloud,
         )
         wspec = lambda a: pl.BlockSpec(
             a.shape, lambda i, j: (0,) * a.ndim, memory_space=pltpu.VMEM

@@ -105,6 +105,7 @@ def fused_policy_apply(
         radius=SA0["radius"], nsample=SA0["nsample"],
         compute_dtype=cdt, interpret=interpret, tile_s=sa_tiles[0],
         gather16=gather16, impl=sa_impl, pad_chunks=sa_impl == "v5",
+        centroids_in_cloud=sa_impl == "v5",
     )
 
     # ---- SA1: 512 -> 128 centroids, 256-dim features ----------------------
@@ -118,6 +119,7 @@ def fused_policy_apply(
         radius=SA1["radius"], nsample=SA1["nsample"],
         compute_dtype=cdt, interpret=interpret, tile_s=sa_tiles[1],
         gather16=gather16, impl=sa_impl,
+        centroids_in_cloud=sa_impl == "v5",
     )
 
     # ---- global SA (group all, xyz NOT recentred) + FC head ---------------
