@@ -246,6 +246,40 @@ def gen(
     return total
 
 
+def visualize_scene(scene_type: str, out_html, seed: int = 0) -> None:
+    """The reference's ``test-environment`` mode analog
+    (``gen_data.py:798-815`` ``visualize_single_env`` + the CLI mode at
+    ``:1089-1098``): generate one scene, plan its demo candidate pair, and
+    write the trajectory + primitives to a standalone HTML viewer
+    (:mod:`mpinets_tpu.eval.visualize` -- the PyBullet-GUI stand-in)."""
+    from mpinets_tpu.eval.visualize import write_html
+
+    rng = np.random.default_rng(seed)
+    env = ENVS[scene_type]()
+    for attempt in range(10):
+        if env.gen(rng):
+            break
+    else:
+        raise SystemExit("could not generate a valid scene in 10 attempts")
+    a, b = env.demo_candidates[0], env.demo_candidates[1]
+    scene = jax.tree_util.tree_map(lambda x: x[0], env.scene_set())
+    res = expert.plan_pair_optimized(
+        jnp.asarray(a.config, jnp.float32),
+        jnp.asarray(b.config, jnp.float32),
+        jnp.asarray(b.pose.matrix[:3, :3], jnp.float32),
+        jnp.asarray(b.pose.position, jnp.float32),
+        scene,
+    )
+    traj = np.asarray(res.trajectory)
+    print(f"scene generated; demo plan valid={bool(res.valid)} "
+          f"(family code {int(res.which)})")
+    path = write_html(
+        out_html, traj, cuboids=env.cuboids, cylinders=env.cylinders,
+        target_position=np.asarray(b.pose.position),
+    )
+    print(f"wrote {path}")
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("scene_type", choices=sorted(ENVS))
@@ -255,7 +289,15 @@ def main(argv=None) -> None:
     ap.add_argument("--neutral", action="store_true")
     ap.add_argument("--for-inference", default=None, metavar="PKL")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--visualize-scene", default=None, metavar="HTML",
+                    help="test-environment mode (gen_data.py:798-815,"
+                         "1089-1098): generate ONE scene, plan its demo "
+                         "pair, and write an interactive HTML trajectory "
+                         "viewer instead of a dataset")
     args = ap.parse_args(argv)
+    if args.visualize_scene:
+        visualize_scene(args.scene_type, args.visualize_scene, args.seed)
+        return
     gen(
         args.scene_type, args.output,
         num_scenes=args.num_scenes,
