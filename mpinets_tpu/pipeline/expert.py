@@ -132,10 +132,28 @@ def verify_trajectory(
     return VerifyResult(valid, miss, jerk, self_c, env_c, limits)
 
 
+def _severity(res: VerifyResult) -> jnp.ndarray:
+    """Scalar badness of a verified trajectory (lower is better): number of
+    failed predicates dominates, miss/jerk magnitudes break ties. Used to
+    keep the best *attempted* trajectory when no restart is valid, so that
+    failure-code tallies diagnose a real trajectory — the reference
+    attributes error codes to the actual failed trajectory
+    (``gen_data.py:419-430``), never to a placeholder."""
+    fails = (
+        (res.miss > MISS_TOLERANCE).astype(jnp.float32)
+        + (res.max_jerk > MAX_JERK)
+        + res.has_self_collision
+        + res.has_env_collision
+        + (~res.within_limits)
+    )
+    return 100.0 * fails + res.miss + res.max_jerk
+
+
 class PlanResult(NamedTuple):
     trajectory: jnp.ndarray  # [SEQUENCE_LENGTH, 7]
     valid: jnp.ndarray       # [] bool
     which: jnp.ndarray       # [] int32: index of the accepted candidate path
+    score: jnp.ndarray       # [] f32 severity of the returned trajectory
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -181,7 +199,10 @@ def plan_pair(
     which = jnp.argmax(ok_dense)  # first True (argmax of bools)
     traj = constant_velocity_retime(candidates[which])
     final = verify_trajectory(traj, target_rot, target_trans, scene)
-    return PlanResult(traj, jnp.any(ok_dense) & final.valid, which.astype(jnp.int32))
+    return PlanResult(
+        traj, jnp.any(ok_dense) & final.valid, which.astype(jnp.int32),
+        _severity(final),
+    )
 
 
 def plan_pairs_batch(
@@ -289,7 +310,7 @@ def _via_init(q_start, via, q_goal):
 
 def _try_optimized(q_start, q_goal, target_rot, target_trans, scene, init):
     """One optimizer restart: optimize, dense-verify, retime, final-verify.
-    Returns (traj [SEQUENCE_LENGTH, 7], valid)."""
+    Returns (traj [SEQUENCE_LENGTH, 7], valid, severity score)."""
     opt = optimize_trajectory(q_start, q_goal, scene, init=init)
     t = jnp.linspace(0.0, OPT_PATH_LEN - 1.0, DENSE_STEPS)
     lo = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, OPT_PATH_LEN - 2)
@@ -304,7 +325,7 @@ def _try_optimized(q_start, q_goal, target_rot, target_trans, scene, init):
     )
     traj = constant_velocity_retime(dense_opt)
     final = verify_trajectory(traj, target_rot, target_trans, scene)
-    return traj, ok & final.valid
+    return traj, ok & final.valid, _severity(final)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -322,7 +343,14 @@ def plan_pair_optimized(
     e.g. cubby pocket-to-pocket transfers, which must retract out of the
     start pocket before re-entering (r3 at-scale measurement: cubby
     valid-rate was 26.8% with the single straight-line seed,
-    env-collision-dominated). vmap over pairs for batched generation."""
+    env-collision-dominated). vmap over pairs for batched generation.
+
+    When NO attempt is valid, the returned trajectory is the best *attempted*
+    one (lowest :func:`_severity` across the family pick and all optimizer
+    restarts) — never a placeholder — so downstream failure-code tallies
+    diagnose a real failure mode (reference convention
+    ``gen_data.py:419-430``; r3's zeros placeholder made the at-scale
+    miss/self-collision/limits columns an artifact)."""
     family = plan_pair(q_start, q_goal, target_rot, target_trans, scene)
 
     neutral = jnp.asarray(franka.NEUTRAL_Q, q_start.dtype)
@@ -334,20 +362,33 @@ def plan_pair_optimized(
         _via_init(q_start, neutral, q_goal),
         _via_init(q_start, retract, q_goal),
     ]
-    traj_opt = jnp.zeros((SEQUENCE_LENGTH, q_start.shape[-1]), q_start.dtype)
     valid_opt = jnp.asarray(False)
     which_opt = jnp.asarray(99, jnp.int32)
+    traj_opt = jnp.zeros((SEQUENCE_LENGTH, q_start.shape[-1]), q_start.dtype)
+    # best-attempt fallback, seeded with the family's chosen candidate
+    best_traj = family.trajectory
+    best_score = family.score
+    best_which = family.which
     for i, seed in enumerate(seeds):
-        traj_i, ok_i = _try_optimized(
+        traj_i, ok_i, score_i = _try_optimized(
             q_start, q_goal, target_rot, target_trans, scene, seed
         )
         take = ok_i & ~valid_opt
         traj_opt = jnp.where(take, traj_i, traj_opt)
         which_opt = jnp.where(take, 99 + i, which_opt)
         valid_opt = valid_opt | ok_i
+        better = score_i < best_score
+        best_traj = jnp.where(better, traj_i, best_traj)
+        best_score = jnp.where(better, score_i, best_score)
+        best_which = jnp.where(better, 99 + i, best_which)
 
     use_family = family.valid
-    traj = jnp.where(use_family, family.trajectory, traj_opt)
     valid = family.valid | valid_opt
-    which = jnp.where(use_family, family.which, which_opt)
-    return PlanResult(traj, valid, which.astype(jnp.int32))
+    traj = jnp.where(
+        use_family, family.trajectory, jnp.where(valid_opt, traj_opt, best_traj)
+    )
+    which = jnp.where(
+        use_family, family.which, jnp.where(valid_opt, which_opt, best_which)
+    )
+    score = jnp.where(valid, 0.0, best_score)
+    return PlanResult(traj, valid, which.astype(jnp.int32), score)

@@ -122,3 +122,41 @@ def test_via_restarts_solve_wall_blocked_pairs():
     # the via restarts must be reachable machinery (fire at least once
     # across several scenes, or every pair was solvable without them)
     assert via_used >= 1 or planned >= 3
+
+
+def test_failed_plan_returns_best_attempt_not_zeros():
+    """When no restart is valid, plan_pair_optimized must return the best
+    ATTEMPTED trajectory so failure codes diagnose a real failure mode --
+    never the zeros placeholder whose verify trips miss+self-collision+
+    limits simultaneously (the r3 GEN_STATS artifact; reference attributes
+    codes to the actual failed trajectory, gen_data.py:419-430)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpinets_tpu.geom.scene import pack_scenes
+    from mpinets_tpu.pipeline import expert
+    from mpinets_tpu.robot import franka
+
+    # Unreachable target: kinematically impossible position 3 m away.
+    # Every candidate/restart fails on miss and nothing else.
+    q = jnp.asarray(franka.NEUTRAL_Q, jnp.float32)
+    q_goal = q.at[0].set(0.4)
+    scene = jax.tree_util.tree_map(lambda x: x[0], pack_scenes([[]], [[]]))
+    res = expert.plan_pair_optimized(
+        q, q_goal, jnp.eye(3, dtype=jnp.float32),
+        jnp.asarray([3.0, 0.0, 0.5], jnp.float32), scene,
+    )
+    assert not bool(res.valid)
+    traj = np.asarray(res.trajectory)
+    # best attempt, not the placeholder: endpoints are the requested configs
+    assert np.abs(traj).max() > 0.1
+    np.testing.assert_allclose(traj[0], np.asarray(q), atol=1e-5)
+    # and its failure signature is genuine: miss only
+    ver = expert.verify_trajectory(
+        res.trajectory, jnp.eye(3, dtype=jnp.float32),
+        jnp.asarray([3.0, 0.0, 0.5], jnp.float32), scene,
+    )
+    assert bool(ver.miss > expert.MISS_TOLERANCE)
+    assert not bool(ver.has_self_collision)
+    assert not bool(ver.has_env_collision)
+    assert bool(ver.within_limits)
