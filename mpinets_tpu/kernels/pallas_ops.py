@@ -742,6 +742,205 @@ def _sa_kernel_v5(
     idx_ref[0] = jnp.where(kj.astype(f32) < totals, merged_idx, fill)
 
 
+def _sa_kernel_v8(
+    pts_ref,     # [1, P*NC, 128] channel planes (x, y, z, feat...) chunked
+    tab_ref,     # [1, TS*P*NC, 128] XLA-tiled gather table, rows (g, ch, k)
+    cx_ref,      # [1, TS, 1] centroid coords
+    cy_ref,
+    cz_ref,
+    crep_ref,    # [1, 3, TS*128] centroid coords lane-repeated 128x
+    w1t_ref,     # [C1, P8] transposed layer weights
+    b1t_ref,     # [C1, 1]
+    w2t_ref,     # [C2, C1]
+    b2t_ref,     # [C2, 1]
+    w3t_ref,     # [C3, C2]
+    b3t_ref,     # [C3, 1]
+    lt_ref,      # [128, 128] lower-triangular ones (bf16)
+    bd_ref,      # [RB, RB] strictly-lower block-diagonal ones (bf16)
+    out_ref,     # [1, TS, C3]
+    idx_ref,     # [1, TS, ns] selected indices (int32)
+    *,
+    radius: float,
+    nsample: int,
+    num_chunks: int,
+    num_planes: int,
+    compute_dtype,
+    tile_s: int,
+    debug_stop: int = 0,
+):
+    """v8: v5 exact semantics with three measured-cost eliminations.
+
+    * The gather TABLE is an input (XLA ``jnp.tile`` of the planes, measured
+      1.17 us/sample bf16 in r4a) delivered once per sample (its BlockSpec
+      ignores the centroid-tile grid axis), so the kernel no longer
+      materializes a [ts*p*nc, 128] concat every grid step.
+    * The recentring bias columns come from ONE MXU matmul
+      ``W1[:, :3] @ crep`` against lane-repeated centroid coords (input),
+      replacing ts broadcast+concat column builds.
+    The in-ball test keeps v5's literal ``(x-c)^2+... < r^2`` form: the
+    algebraically cheaper half-|p|^2 variant rounds differently in f32 and
+    can flip boundary membership vs the CUDA-semantics oracle — reserved
+    for the relaxed fast-grouping kernel.
+
+    Assumes ``centroids_in_cloud`` (the fused-path default): every live
+    centroid is a cloud member, so the CUDA count==0 fallback cannot fire.
+    """
+    ts = tile_s
+    nc = num_chunks
+    ns = nsample
+    p = num_planes
+    rb = ts * nc
+    f32 = jnp.float32
+    cdt = compute_dtype
+    prec = (
+        jax.lax.Precision.HIGHEST if cdt == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    cxs = [cx_ref[0, g, 0] for g in range(ts)]
+    cys = [cy_ref[0, g, 0] for g in range(ts)]
+    czs = [cz_ref[0, g, 0] for g in range(ts)]
+
+    planes = pts_ref[0]                     # [p*nc, 128]
+    x = planes[0 * nc : 1 * nc].astype(f32)
+    y = planes[1 * nc : 2 * nc].astype(f32)
+    z = planes[2 * nc : 3 * nc].astype(f32)
+
+    # ---- 1. in-ball mask per chunk-row, [rb, 128] bf16 --------------------
+    r2 = radius * radius
+    parts = []
+    for g in range(ts):
+        dx = x - cxs[g]
+        dy = y - cys[g]
+        dz = z - czs[g]
+        parts.append((dx * dx + dy * dy + dz * dz < r2).astype(jnp.bfloat16))
+    in_ball = jnp.concatenate(parts, axis=0)             # [rb, 128]
+
+    # ---- 2. inclusive counts + chunk offsets, all on the MXU --------------
+    local_cnt = jnp.dot(in_ball, lt_ref[:], preferred_element_type=f32)
+    ones128 = (lt_ref[:] * 0 + 1).astype(jnp.bfloat16)
+    tot_b = jnp.dot(in_ball, ones128, preferred_element_type=f32)
+    base_b = jnp.dot(
+        bd_ref[:], tot_b.astype(jnp.bfloat16), preferred_element_type=f32
+    )
+    tot = tot_b[:, 0:1]
+    base_excl = base_b[:, 0:1]
+    base_incl = base_excl + tot
+    cnt = local_cnt + base_b                             # [rb, 128] monotone
+
+    # ---- 3. slot inversion: rounds 1-2 by slice-select, 3-7 by gather -----
+    jlane = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 1)
+    jf = jlane.astype(f32)
+    col = lambda v: cnt[:, v : v + 1]
+    lo = jnp.where(col(63) <= jf, 64, 0)
+    g2 = jnp.where(lo > 0, col(95), col(31))
+    lo = jnp.where(g2 <= jf, lo + 32, lo)
+    for step in (16, 8, 4, 2, 1):
+        probe = lo + (step - 1)
+        gathered = jnp.take_along_axis(cnt, probe, axis=1)
+        lo = jnp.where(gathered <= jf, lo + step, lo)
+    pos = lo                                             # [rb, 128]
+
+    # ---- 4. ownership masks + merged indices ------------------------------
+    valid = (jf >= base_excl) & (jf < base_incl)
+    validf = valid.astype(f32)
+    chunk_of = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 0) % nc
+    sel_contrib = (chunk_of * 128 + pos) * valid.astype(jnp.int32)
+    merged_idx = jnp.sum(sel_contrib.reshape(ts, nc, 128), axis=1)  # [ts,128]
+    totals = jnp.sum(tot.reshape(ts, nc, 1), axis=1)     # [ts, 1]
+
+    c3_out = out_ref.shape[2]
+
+    def _dbg_out(val):
+        out_ref[0] = jnp.broadcast_to(
+            jnp.sum(val).reshape(1, 1), (ts, c3_out)
+        ).astype(out_ref.dtype)
+        idx_ref[0] = merged_idx[:, :ns]
+
+    if debug_stop == 4:
+        _dbg_out(pos.astype(f32) + validf)
+        return
+
+    # ---- 5. channel gather over the pre-tiled table -----------------------
+    table = tab_ref[0].astype(f32)                       # [ts*p*nc, 128]
+    rep_idx, rep_mask = [], []
+    for g in range(ts):
+        pg = pos[g * nc : (g + 1) * nc]
+        vg = validf[g * nc : (g + 1) * nc]
+        rep_idx.extend([pg] * p)
+        rep_mask.extend([vg] * p)
+    gidx = jnp.concatenate(rep_idx, axis=0)              # [ts*p*nc, 128]
+    gmask = jnp.concatenate(rep_mask, axis=0)
+    gat = jnp.take_along_axis(table, gidx, axis=1) * gmask
+    merged = jnp.sum(gat.reshape(ts * p, nc, 128), axis=1)
+    if debug_stop == 5:
+        _dbg_out(merged)
+        return
+    raw_lanes = jnp.concatenate(
+        [merged[g * p : (g + 1) * p] for g in range(ts)], axis=1
+    )                                                    # [p, ts*128]
+
+    # ---- 6. recentring bias via MXU + per-centroid valid columns ----------
+    w1t = w1t_ref[:, :p].astype(cdt)
+    w1txyz = w1t_ref[:, :3].astype(f32)
+    bc_lanes = jnp.dot(
+        w1txyz, crep_ref[0].astype(f32),
+        preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
+    )                                                    # [c1, ts*128]
+    slot128 = jax.lax.broadcasted_iota(jnp.int32, (1, ns), 1)
+    vmask_blocks = [
+        slot128.astype(f32) < jnp.maximum(totals[g, 0], 1.0)
+        for g in range(ts)
+    ]
+    vmask = jnp.concatenate(vmask_blocks, axis=1)        # [1, ts*128]
+    if debug_stop == 6:
+        _dbg_out(bc_lanes + vmask.astype(f32) + raw_lanes[0:1])
+        return
+
+    # ---- 7. transposed MLP + masked lane-window max-pool ------------------
+    h1 = (
+        jnp.dot(
+            w1t, raw_lanes.astype(cdt),
+            preferred_element_type=f32, precision=prec,
+        )
+        + b1t_ref[:].astype(f32)
+        - bc_lanes
+    )
+    h = jnp.maximum(h1, 0).astype(cdt)
+    h = jnp.maximum(
+        jnp.dot(
+            w2t_ref[:].astype(cdt), h,
+            preferred_element_type=f32, precision=prec,
+        )
+        + b2t_ref[:].astype(f32),
+        0,
+    ).astype(cdt)
+    h = jnp.maximum(
+        jnp.dot(
+            w3t_ref[:].astype(cdt), h,
+            preferred_element_type=f32, precision=prec,
+        )
+        + b3t_ref[:].astype(f32),
+        0,
+    )                                                    # [c3, ts*128] f32
+    if debug_stop == 7:
+        _dbg_out(h)
+        return
+    h = jnp.where(vmask, h, -jnp.inf)
+    pools = [
+        jnp.max(h[:, g * ns : (g + 1) * ns], axis=1, keepdims=True)
+        for g in range(ts)
+    ]
+    out_ref[0] = jnp.transpose(
+        jnp.concatenate(pools, axis=1)
+    ).astype(out_ref.dtype)
+
+    # ---- 8. reference fill-with-first on the index output -----------------
+    fill = jnp.where(totals >= 1.0, merged_idx[:, 0:1], 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (ts, ns), 1)
+    idx_ref[0] = jnp.where(kj.astype(f32) < totals, merged_idx, fill)
+
+
 def _lt128() -> jnp.ndarray:
     i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)

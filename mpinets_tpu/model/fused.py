@@ -122,7 +122,14 @@ def fused_policy_apply(
         centroids_in_cloud=sa_impl == "v5",
     )
 
-    # ---- global SA (group all, xyz NOT recentred) + FC head ---------------
+    return xla_tail(p, cent1, f1, q_norm, cdt)
+
+
+def xla_tail(p, cent1, f1, q_norm, cdt):
+    """Global SA (group all, xyz NOT recentred) + FC head + q encoder +
+    decoder — the plain-XLA (and fully differentiable) back half of the
+    policy, shared by the inference and train fused paths."""
+    enc = p["point_cloud_encoder"]
     (w1, b1), (w2, b2), (w3, b3) = _mlp_params(enc["sa2"]["mlp"])
     g = jnp.concatenate([cent1, f1], axis=-1)            # [B, 128, 259]
     h = jnp.maximum(

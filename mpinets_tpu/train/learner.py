@@ -77,10 +77,16 @@ def loss_fn(
     batch: Dict[str, jnp.ndarray],
     point_match_weight: float = POINT_MATCH_WEIGHT,
     collision_weight: float = COLLISION_WEIGHT,
+    apply_fn=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Forward + weighted loss (``model.py:185-240`` training_step)."""
+    """Forward + weighted loss (``model.py:185-240`` training_step).
+
+    ``apply_fn`` overrides ``model.apply`` — pass a differentiable fused
+    forward (:func:`mpinets_tpu.model.fused_train.make_fused_train_apply`)
+    to run the Pallas kernels inside the train step."""
+    forward = model.apply if apply_fn is None else apply_fn
     q = batch["configuration"]
-    delta = model.apply(params, batch["xyz"], q)
+    delta = forward(params, batch["xyz"], q)
     y_hat = jnp.clip(q + delta, -1.0, 1.0)  # model.py:202
     collision, point_match = losses.bc_losses(
         y_hat, batch["supervision"], scene_from_batch(batch)
@@ -98,6 +104,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation | None = None,
     point_match_weight: float = POINT_MATCH_WEIGHT,
     collision_weight: float = COLLISION_WEIGHT,
+    apply_fn=None,
 ):
     """Single-device (or already-sharded-by-jit) train step."""
     optimizer = optimizer or make_optimizer()
@@ -106,6 +113,7 @@ def make_train_step(
         model,
         point_match_weight=point_match_weight,
         collision_weight=collision_weight,
+        apply_fn=apply_fn,
     )
 
     @jax.jit
@@ -128,6 +136,7 @@ def make_data_parallel_step(
     point_match_weight: float = POINT_MATCH_WEIGHT,
     collision_weight: float = COLLISION_WEIGHT,
     prepare_fn=None,
+    apply_fn=None,
 ):
     """DP train step over a device mesh: batch sharded on ``data_axis``,
     params replicated, gradient psum-mean over ICI (the NCCL all-reduce
@@ -137,13 +146,15 @@ def make_data_parallel_step(
     on-device input pipeline (point-cloud assembly + augmentation,
     :func:`mpinets_tpu.data.hdf5.prepare_train_batch`) into the sharded
     step, keyed per device; when set, the step signature gains a PRNG key:
-    ``step(state, raw_batch, key)``."""
+    ``step(state, raw_batch, key)``. ``apply_fn`` overrides the forward
+    (e.g. the differentiable fused Pallas path)."""
     optimizer = optimizer or make_optimizer()
     loss = functools.partial(
         loss_fn,
         model,
         point_match_weight=point_match_weight,
         collision_weight=collision_weight,
+        apply_fn=apply_fn,
     )
 
     def _core(state: TrainState, batch: Dict[str, jnp.ndarray]):

@@ -70,6 +70,11 @@ class Trainer:
     test: bool = False  # --test smoke mode (run_training.py:68-70)
     should_log: bool = True
     should_checkpoint: bool = True
+    #: None = auto: use the differentiable fused Pallas forward inside the
+    #: train step on TPU backends at full reference shapes (the VJP flows
+    #: through the saved neighbor indices, model/fused_train.py); CPU runs
+    #: and reduced shapes fall back to the plain-XLA model.apply.
+    fused: Optional[bool] = None
 
     def __post_init__(self):
         # Multi-host rendezvous first (no-op without a coordinator env;
@@ -211,11 +216,27 @@ class Trainer:
             start_step = ckpt.checkpoint_step(resume_dir)
             print(f"resumed from {resume_dir} at step {start_step}", flush=True)
 
+        fused = self.fused
+        if fused is None:
+            fused = (
+                jax.default_backend() not in ("cpu",)
+                and self.sizes.total % 128 == 0
+            )
+        train_apply_fn = None
+        if fused:
+            from mpinets_tpu.model.fused_train import make_fused_train_apply
+
+            train_apply_fn = make_fused_train_apply(
+                self.model.compute_dtype, sa_npoints=self.model.sa_npoints
+            )
+        print(f"train forward path: {'fused-pallas' if fused else 'xla'}",
+              flush=True)
         step_fn = learner.make_data_parallel_step(
             self.model, self.mesh, self.optimizer,
             point_match_weight=cfg.loss.point_match_loss_weight,
             collision_weight=cfg.loss.collision_loss_weight,
             prepare_fn=prepare_fn,
+            apply_fn=train_apply_fn,
         )
         validate_fn = validate.make_validation_fn(
             self.model, cfg.rollout.val_rollout_length, self.sizes
