@@ -91,7 +91,7 @@ def main() -> None:
                         help="carry coordinates in bf16 through FPS")
     parser.add_argument("--fps-impl", default="v1", choices=("v1", "v2"),
                         help="Pallas FPS kernel variant")
-    parser.add_argument("--sa-impl", default="v5", choices=("v3", "v5"),
+    parser.add_argument("--sa-impl", default="v5", choices=("v3", "v5", "v8"),
                         help="fused SA kernel variant")
     parser.add_argument("--gather16", action="store_true",
                         help="16-bit in-kernel SA gathers (bf16 data + i16 "

@@ -941,6 +941,334 @@ def _sa_kernel_v8(
     idx_ref[0] = jnp.where(kj.astype(f32) < totals, merged_idx, fill)
 
 
+def _sa_kernel_f1(
+    pts_ref,     # [1, P*NC, 128] channel planes (bf16 in fast mode)
+    cw_ref,      # [1, TS, W] int32: per-centroid window chunk ids
+    cx_ref,      # [1, TS, 1] centroid coords
+    cy_ref,
+    cz_ref,
+    crep_ref,    # [1, 3, TS*128] centroid coords lane-repeated 128x
+    w1t_ref, b1t_ref, w2t_ref, b2t_ref, w3t_ref, b3t_ref,
+    lt_ref,      # [128, 128] lower-triangular ones (bf16)
+    bdw_ref,     # [TS*W, TS*W] strictly-lower block-diag ones (bf16)
+    out_ref,     # [1, TS, C3]
+    idx_ref,     # [1, TS, ns] selected indices (int32)
+    *,
+    radius: float,
+    nsample: int,
+    num_chunks: int,
+    num_planes: int,
+    window: int,
+    compute_dtype,
+    tile_s: int,
+):
+    """Relaxed fast-grouping SA kernel (``--fast-grouping``).
+
+    RELAXED SEMANTICS (the exactness/speed tradeoff VERDICT r3 #1 asks to
+    measure): instead of scanning all ``nc`` chunks per centroid (exact
+    CUDA first-k-by-index truncation), each centroid examines only its
+    ``window`` nearest chunks (by chunk-mean distance, chosen in XLA with
+    ``top_k``) and keeps up to ``nsample`` in-ball points in
+    (nearest-chunk, lane) order. The in-ball predicate itself is exact;
+    what relaxes is (a) points outside the W nearest chunks are never
+    considered and (b) truncation order is by chunk distance, not global
+    index. Selection work drops from O(S*nc) to O(S*W) rows.
+
+    Candidate compaction rides the MXU: a [ts*p*W, p*nc] one-hot built
+    from the window ids gathers all candidate chunk rows in ONE matmul
+    (exact: 0/1 weights select bf16 values with f32 accumulation), after
+    which counts/search/gather run identically to v5/v8 but on ts*W rows.
+    """
+    ts = tile_s
+    nc = num_chunks
+    ns = nsample
+    p = num_planes
+    w = window
+    rbf = ts * w
+    f32 = jnp.float32
+    cdt = compute_dtype
+    prec = (
+        jax.lax.Precision.HIGHEST if cdt == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    cxs = [cx_ref[0, g, 0] for g in range(ts)]
+    cys = [cy_ref[0, g, 0] for g in range(ts)]
+    czs = [cz_ref[0, g, 0] for g in range(ts)]
+
+    planes = pts_ref[0]                                   # [p*nc, 128]
+    ids = cw_ref[0].reshape(rbf, 1)                       # [(g,w), 1] i32
+
+    # ---- 1. candidate compaction: ONE one-hot MXU matmul ------------------
+    # rows (g, ch, w) select planes row (ch, ids[g, w]).
+    rows = ts * p * w
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, p * nc), 1)
+    # target column for row (g, ch, w): ch * nc + ids[g, w]
+    ch_of = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // w) % p
+    ids_rep = jnp.concatenate(
+        [jnp.broadcast_to(ids[g * w : (g + 1) * w], (p, w, 1)
+                          ).reshape(p * w, 1) for g in range(ts)],
+        axis=0,
+    )                                                     # [(g,ch,w), 1]
+    if cdt == jnp.float32:
+        # keep f32 values exact through the one-hot selection (a DEFAULT
+        # f32 MXU pass would round them to bf16)
+        onehot = (col_iota == ch_of * nc + ids_rep).astype(f32)
+        cand = jnp.dot(
+            onehot, planes.astype(f32), preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                 # [(g,ch,w), 128]
+    else:
+        onehot = (col_iota == ch_of * nc + ids_rep).astype(jnp.bfloat16)
+        cand = jnp.dot(
+            onehot, planes.astype(jnp.bfloat16), preferred_element_type=f32
+        )                                                 # [(g,ch,w), 128]
+
+    # ---- 2. in-ball mask on candidate rows, [(g,w), 128] ------------------
+    r2 = radius * radius
+    parts = []
+    for g in range(ts):
+        base = g * p * w
+        xg = cand[base : base + w]
+        yg = cand[base + w : base + 2 * w]
+        zg = cand[base + 2 * w : base + 3 * w]
+        dx = xg - cxs[g]
+        dy = yg - cys[g]
+        dz = zg - czs[g]
+        parts.append((dx * dx + dy * dy + dz * dz < r2).astype(jnp.bfloat16))
+    in_ball = jnp.concatenate(parts, axis=0)              # [(g,w), 128]
+
+    # ---- 3. counts + window offsets on the MXU ----------------------------
+    local_cnt = jnp.dot(in_ball, lt_ref[:], preferred_element_type=f32)
+    ones128 = (lt_ref[:] * 0 + 1).astype(jnp.bfloat16)
+    tot_b = jnp.dot(in_ball, ones128, preferred_element_type=f32)
+    base_b = jnp.dot(
+        bdw_ref[:], tot_b.astype(jnp.bfloat16), preferred_element_type=f32
+    )
+    tot = tot_b[:, 0:1]
+    base_excl = base_b[:, 0:1]
+    base_incl = base_excl + tot
+    cnt = local_cnt + base_b                              # [(g,w), 128]
+
+    # ---- 4. slot inversion (as v5/v8, on ts*w rows) -----------------------
+    jlane = jax.lax.broadcasted_iota(jnp.int32, (rbf, 128), 1)
+    jf = jlane.astype(f32)
+    col = lambda v: cnt[:, v : v + 1]
+    lo = jnp.where(col(63) <= jf, 64, 0)
+    g2 = jnp.where(lo > 0, col(95), col(31))
+    lo = jnp.where(g2 <= jf, lo + 32, lo)
+    for step in (16, 8, 4, 2, 1):
+        probe = lo + (step - 1)
+        gathered = jnp.take_along_axis(cnt, probe, axis=1)
+        lo = jnp.where(gathered <= jf, lo + step, lo)
+    pos = lo
+
+    valid = (jf >= base_excl) & (jf < base_incl)
+    validf = valid.astype(f32)
+    sel_contrib = (ids * 128 + pos) * valid.astype(jnp.int32)
+    merged_idx = jnp.sum(sel_contrib.reshape(ts, w, 128), axis=1)  # [ts,128]
+    totals = jnp.sum(tot.reshape(ts, w, 1), axis=1)       # [ts, 1]
+
+    # ---- 5. channel gather over the candidate rows ------------------------
+    # table rows (g, ch, w) = cand itself; indices/masks repeat per channel.
+    rep_idx, rep_mask = [], []
+    for g in range(ts):
+        pg = pos[g * w : (g + 1) * w]
+        vg = validf[g * w : (g + 1) * w]
+        rep_idx.extend([pg] * p)
+        rep_mask.extend([vg] * p)
+    gidx = jnp.concatenate(rep_idx, axis=0)               # [(g,ch,w), 128]
+    gmask = jnp.concatenate(rep_mask, axis=0)
+    gat = jnp.take_along_axis(cand, gidx, axis=1) * gmask
+    merged = jnp.sum(gat.reshape(ts * p, w, 128), axis=1)  # [(g,ch), 128]
+    raw_lanes = jnp.concatenate(
+        [merged[g * p : (g + 1) * p] for g in range(ts)], axis=1
+    )                                                     # [p, ts*128]
+
+    # ---- 6. bias columns + masks (v8 form) --------------------------------
+    w1t = w1t_ref[:, :p].astype(cdt)
+    w1txyz = w1t_ref[:, :3].astype(f32)
+    bc_lanes = jnp.dot(
+        w1txyz, crep_ref[0].astype(f32),
+        preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
+    )
+    slot128 = jax.lax.broadcasted_iota(jnp.int32, (1, ns), 1)
+    vmask = jnp.concatenate(
+        [slot128.astype(f32) < jnp.maximum(totals[g, 0], 1.0)
+         for g in range(ts)],
+        axis=1,
+    )
+
+    # ---- 7. transposed MLP + masked lane-window max-pool ------------------
+    h1 = (
+        jnp.dot(w1t, raw_lanes.astype(cdt),
+                preferred_element_type=f32, precision=prec)
+        + b1t_ref[:].astype(f32)
+        - bc_lanes
+    )
+    h = jnp.maximum(h1, 0).astype(cdt)
+    h = jnp.maximum(
+        jnp.dot(w2t_ref[:].astype(cdt), h,
+                preferred_element_type=f32, precision=prec)
+        + b2t_ref[:].astype(f32),
+        0,
+    ).astype(cdt)
+    h = jnp.maximum(
+        jnp.dot(w3t_ref[:].astype(cdt), h,
+                preferred_element_type=f32, precision=prec)
+        + b3t_ref[:].astype(f32),
+        0,
+    )
+    h = jnp.where(vmask, h, -jnp.inf)
+    pools = [
+        jnp.max(h[:, g * ns : (g + 1) * ns], axis=1, keepdims=True)
+        for g in range(ts)
+    ]
+    out_ref[0] = jnp.transpose(
+        jnp.concatenate(pools, axis=1)
+    ).astype(out_ref.dtype)
+
+    fill = jnp.where(totals >= 1.0, merged_idx[:, 0:1], 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (ts, ns), 1)
+    idx_ref[0] = jnp.where(kj.astype(f32) < totals, merged_idx, fill)
+
+
+def _bd_strict_w(ts: int, w: int) -> jnp.ndarray:
+    """[ts*w, ts*w] strictly-lower block-diagonal ones for the fast kernel's
+    window prefix (blocks of size w)."""
+    rb = ts * w
+    i = jax.lax.broadcasted_iota(jnp.int32, (rb, rb), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (rb, rb), 1)
+    same_block = (i // w) == (j // w)
+    return (same_block & (j < i)).astype(jnp.bfloat16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "nsample", "window", "compute_dtype",
+                     "interpret", "tile_s"),
+)
+def sa_stage_fast(
+    xyz: jnp.ndarray,        # [B, N, 3]
+    features: jnp.ndarray,   # [B, N, C]
+    centroids: jnp.ndarray,  # [B, S, 3]
+    w1, b1, w2, b2, w3, b3,
+    radius: float,
+    nsample: int = 128,
+    window: int = 12,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    tile_s: int = _TS,
+):
+    """Relaxed fast-grouping SA stage (see :func:`_sa_kernel_f1`).
+
+    Per centroid, only the ``window`` nearest chunks (by chunk-mean
+    distance) are searched; the rest of the stage is unchanged. Returns
+    (features [B, S, C3] f32, idx [B, S, nsample])."""
+    b, n, _ = xyz.shape
+    s = centroids.shape[1]
+    c = features.shape[-1]
+    p = 3 + c
+    assert nsample == 128, "slot layout assumes ns == 128"
+    pad_n = (-n) % 128
+    if pad_n:
+        xyz = jnp.pad(xyz, ((0, 0), (0, pad_n), (0, 0)), constant_values=1e6)
+        features = jnp.pad(features, ((0, 0), (0, pad_n), (0, 0)))
+        n += pad_n
+    s_in = s
+    pad_s = (-s) % tile_s
+    if pad_s:
+        centroids = jnp.pad(
+            centroids, ((0, 0), (0, pad_s), (0, 0)), constant_values=1e6
+        )
+        s += pad_s
+    nc = n // 128
+    window = min(window, nc)
+    c3 = w3.shape[-1]
+
+    planes = jnp.concatenate([xyz, features], axis=-1)
+    planes = jnp.swapaxes(planes, 1, 2).reshape(b, p * nc, 128)
+    if compute_dtype == jnp.bfloat16:
+        planes = planes.astype(jnp.bfloat16)
+    w1p = w1 if p % 8 == 0 else jnp.pad(w1, ((0, (-p) % 8), (0, 0)))
+
+    # Window selection in XLA: chunk means -> top-W nearest per centroid
+    # (measured 3.65 us/sample at W=16, r4a probe). Padded far-sentinel
+    # points are excluded from the means so a partial final chunk remains
+    # selectable for its real points.
+    real = (jnp.arange(n) < (n - pad_n)).astype(xyz.dtype)  # [n]
+    wsum = jnp.sum(
+        (xyz * real[None, :, None]).reshape(b, nc, 128, 3), axis=2
+    )
+    wcnt = jnp.maximum(jnp.sum(real.reshape(nc, 128), axis=1), 1.0)
+    chunk_means = wsum / wcnt[None, :, None]              # [B, nc, 3]
+    d2 = jnp.sum(
+        (centroids[:, :, None, :] - chunk_means[:, None, :, :]) ** 2, axis=-1
+    )                                                     # [B, S, nc]
+    _, cw = jax.lax.top_k(-d2, window)                    # [B, S, W] i32
+    cw = cw.astype(jnp.int32)
+
+    crep = jnp.repeat(
+        jnp.swapaxes(centroids, 1, 2), 128, axis=2
+    ).astype(jnp.float32)                                 # [B, 3, S*128]
+
+    kernel = functools.partial(
+        _sa_kernel_f1,
+        radius=radius,
+        nsample=nsample,
+        num_chunks=nc,
+        num_planes=p,
+        window=window,
+        compute_dtype=compute_dtype,
+        tile_s=tile_s,
+    )
+    grid = (b, s // tile_s)
+    wspec = lambda a: pl.BlockSpec(
+        a.shape, lambda i, j: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    cspec = pl.BlockSpec(
+        (1, tile_s, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    feats_t, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, p * nc, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_s, window), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            cspec, cspec, cspec,
+            pl.BlockSpec((1, 3, tile_s * 128), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            wspec(w1p.T), wspec(b1.reshape(-1, 1)),
+            wspec(w2.T), wspec(b2.reshape(-1, 1)),
+            wspec(w3.T), wspec(b3.reshape(-1, 1)),
+            pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_s * window, tile_s * window),
+                         lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile_s, c3), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_s, nsample), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s, c3), jnp.float32),
+            jax.ShapeDtypeStruct((b, s, nsample), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        planes, cw,
+        centroids[..., 0:1], centroids[..., 1:2], centroids[..., 2:3],
+        crep,
+        w1p.T, b1.reshape(-1, 1), w2.T, b2.reshape(-1, 1),
+        w3.T, b3.reshape(-1, 1), _lt128(), _bd_strict_w(tile_s, window),
+    )
+    return feats_t[:, :s_in], idx[:, :s_in]
+
+
 def _lt128() -> jnp.ndarray:
     i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
@@ -1011,7 +1339,7 @@ def sa_stage(
     assert nsample == 128, "slot layout assumes ns == 128"
     # Pad points to a chunk multiple with far-away coordinates (never
     # in-ball) and centroids to a tile multiple (outputs sliced off).
-    pad_n = (-n) % (1024 if (pad_chunks and impl == "v5") else 128)
+    pad_n = (-n) % (1024 if (pad_chunks and impl in ("v5", "v8")) else 128)
     if pad_n:
         xyz = jnp.pad(xyz, ((0, 0), (0, pad_n), (0, 0)), constant_values=1e6)
         features = jnp.pad(features, ((0, 0), (0, pad_n), (0, 0)))
@@ -1031,6 +1359,73 @@ def sa_stage(
     planes = jnp.swapaxes(planes, 1, 2).reshape(b, p * nc, 128)
     w1p = w1 if p % 8 == 0 else jnp.pad(w1, ((0, (-p) % 8), (0, 0)))
     lt = _lt128()
+
+    if impl == "v8":
+        assert centroids_in_cloud, "v8 assumes centroids are cloud members"
+        grid = (b, s // tile_s)
+        kernel = functools.partial(
+            _sa_kernel_v8,
+            radius=radius,
+            nsample=nsample,
+            num_chunks=nc,
+            num_planes=p,
+            compute_dtype=compute_dtype,
+            tile_s=tile_s,
+            debug_stop=debug_stop,
+        )
+        # Gather table (rows (g, ch, k)) tiled in XLA — measured
+        # 1.17 us/sample (r4a) and delivered once per sample (index map
+        # ignores j, so Pallas skips the re-copy across the centroid grid
+        # axis). f32: Mosaic gathers need index/data bitwidths to match.
+        tab = jnp.tile(planes.astype(jnp.float32), (1, tile_s, 1))
+        # centroid coords lane-repeated 128x, order (g-major): [B, 3, S*128]
+        crep = jnp.repeat(jnp.swapaxes(centroids, 1, 2), 128, axis=2)
+        crep = crep.astype(jnp.float32)
+        wspec = lambda a: pl.BlockSpec(
+            a.shape, lambda i, j: (0,) * a.ndim, memory_space=pltpu.VMEM
+        )
+        cspec = pl.BlockSpec(
+            (1, tile_s, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        )
+        feats_t, idx = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, p * nc, 128), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_s * p * nc, 128),
+                             lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                cspec, cspec, cspec,
+                pl.BlockSpec((1, 3, tile_s * 128), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                wspec(w1p.T), wspec(b1.reshape(-1, 1)),
+                wspec(w2.T), wspec(b2.reshape(-1, 1)),
+                wspec(w3.T), wspec(b3.reshape(-1, 1)),
+                pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_s * nc, tile_s * nc),
+                             lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, tile_s, c3), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_s, nsample), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, s, c3), jnp.float32),
+                jax.ShapeDtypeStruct((b, s, nsample), jnp.int32),
+            ),
+            interpret=interpret,
+        )(
+            planes, tab,
+            centroids[..., 0:1], centroids[..., 1:2], centroids[..., 2:3],
+            crep,
+            w1p.T, b1.reshape(-1, 1), w2.T, b2.reshape(-1, 1),
+            w3.T, b3.reshape(-1, 1), lt, _bd_strict(tile_s, nc),
+        )
+        return feats_t[:, :s_in], idx[:, :s_in]
 
     if impl == "v5":
         grid = (b, s // tile_s)

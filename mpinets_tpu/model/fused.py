@@ -61,7 +61,7 @@ def _mlp_params(tree):
     jax.jit,
     static_argnames=(
         "compute_dtype", "interpret", "sa_npoints", "sa_tiles", "fps_tile",
-        "bf16_cloud", "fps_impl", "gather16", "sa_impl",
+        "bf16_cloud", "fps_impl", "gather16", "sa_impl", "fast_grouping",
     ),
 )
 def fused_policy_apply(
@@ -77,6 +77,7 @@ def fused_policy_apply(
     fps_impl: str = "v1",
     gather16: bool = False,
     sa_impl: str = "v5",
+    fast_grouping: int = 0,
 ) -> jnp.ndarray:
     """Delta-q prediction, numerically equivalent to ``model.apply``.
 
@@ -84,6 +85,13 @@ def fused_policy_apply(
     that kernel's VMEM-bandwidth floor). It changes which points FPS/ball
     query select at rounding ties, so it is a benchmark/deployment mode, not
     the parity mode.
+
+    ``fast_grouping=W`` (nonzero) switches SA0 to the RELAXED chunk-window
+    kernel (:func:`mpinets_tpu.kernels.pallas_ops.sa_stage_fast`): each
+    centroid searches only its W nearest point chunks instead of the exact
+    CUDA first-k-by-index truncation over all of them. A deployment/bench
+    mode whose metric-level deltas are measured on chip; the exact-match
+    eval contract stays on the exact path.
     """
     p = variables["params"]
     enc = p["point_cloud_encoder"]
@@ -100,13 +108,22 @@ def fused_policy_apply(
         xyz, sa_npoints[0], interpret=interpret, batch_tile=fps_tile,
         impl=fps_impl,
     )
-    f0, _ = pallas_ops.sa_stage(
-        xyz, feat, cent0, w1, b1, w2, b2, w3, b3,
-        radius=SA0["radius"], nsample=SA0["nsample"],
-        compute_dtype=cdt, interpret=interpret, tile_s=sa_tiles[0],
-        gather16=gather16, impl=sa_impl, pad_chunks=sa_impl == "v5",
-        centroids_in_cloud=sa_impl == "v5",
-    )
+    if fast_grouping:
+        f0, _ = pallas_ops.sa_stage_fast(
+            xyz, feat, cent0, w1, b1, w2, b2, w3, b3,
+            radius=SA0["radius"], nsample=SA0["nsample"],
+            window=fast_grouping, compute_dtype=cdt, interpret=interpret,
+            tile_s=sa_tiles[0],
+        )
+    else:
+        f0, _ = pallas_ops.sa_stage(
+            xyz, feat, cent0, w1, b1, w2, b2, w3, b3,
+            radius=SA0["radius"], nsample=SA0["nsample"],
+            compute_dtype=cdt, interpret=interpret, tile_s=sa_tiles[0],
+            gather16=gather16, impl=sa_impl,
+            pad_chunks=sa_impl in ("v5", "v8"),
+            centroids_in_cloud=sa_impl in ("v5", "v8"),
+        )
 
     # ---- SA1: 512 -> 128 centroids, 256-dim features ----------------------
     (w1, b1), (w2, b2), (w3, b3) = _mlp_params(enc["sa1"]["mlp"])
@@ -119,7 +136,7 @@ def fused_policy_apply(
         radius=SA1["radius"], nsample=SA1["nsample"],
         compute_dtype=cdt, interpret=interpret, tile_s=sa_tiles[1],
         gather16=gather16, impl=sa_impl,
-        centroids_in_cloud=sa_impl == "v5",
+        centroids_in_cloud=sa_impl in ("v5", "v8"),
     )
 
     return xla_tail(p, cent1, f1, q_norm, cdt)
@@ -169,11 +186,13 @@ def make_fused_apply(
     fps_impl: str = "v1",
     gather16: bool = False,
     sa_impl: str = "v5",
+    fast_grouping: int = 0,
 ):
     """(variables, xyz, q) -> dq, matching the model.apply signature.
 
     Defaults are the r3 on-chip sweep winners: the v6 SA kernel (batched
     gather + MXU prefix, impl name "v5"), SA tiles 16, FPS batch-tile 128.
+    ``fast_grouping=W`` enables the relaxed chunk-window SA0.
     """
 
     def apply(variables, point_cloud, q_norm):
@@ -182,7 +201,7 @@ def make_fused_apply(
             compute_dtype=compute_dtype, interpret=interpret,
             sa_npoints=sa_npoints, sa_tiles=sa_tiles, fps_tile=fps_tile,
             bf16_cloud=bf16_cloud, fps_impl=fps_impl, gather16=gather16,
-            sa_impl=sa_impl,
+            sa_impl=sa_impl, fast_grouping=fast_grouping,
         )
 
     return apply
