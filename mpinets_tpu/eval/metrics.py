@@ -18,7 +18,19 @@ a whole batch of trajectories is checked in ONE jitted computation:
   came from a proxy derived from the sphere model itself and overstated
   coverage),
 * collision depths (sphere penetration, ``metrics.py:293-311`` equivalent),
-* self-collision via the sphere pair table (``metrics.py:255-268``),
+* self-collision via the sphere pair table (``metrics.py:255-268``; the
+  reference ORs PyBullet mesh checks with this same sphere model because
+  the spheres alone under-report. r4 depth study
+  (``scripts/selfcc_calibration.py``): vs the independent capsule proxy,
+  recall rises monotonically with proxy penetration depth (0.05 at <0.5 cm
+  to 0.65 at >5 cm, precision 0.84) and ~95% of the deep (>2 cm)
+  proxy-only positives concentrate at the forearm-capsule/gripper junction
+  where the sphere model's own minimum pair clearance is 10-28 cm — i.e.
+  they are capsule-overfill FALSE POSITIVES of the proxy, not genuine
+  sphere misses. Without link meshes the sphere table (NVIDIA-tuned, from
+  the reference's lula config) remains the best available self-collision
+  signal; residual under-reporting vs a mesh checker is bounded by the
+  shallow-contact band),
 * joint limits (``metrics.py:311-322``),
 * final position error in **cm** / orientation error in degrees
   (``metrics.py:340-362``),

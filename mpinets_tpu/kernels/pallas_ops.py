@@ -943,7 +943,7 @@ def _sa_kernel_v8(
 
 def _sa_kernel_f1(
     pts_ref,     # [1, P*NC, 128] channel planes (bf16 in fast mode)
-    cw_ref,      # [1, TS, W] int32: per-centroid window chunk ids
+    cw_ref,      # [1, TS*W, 1] int32: per-centroid window chunk ids
     cx_ref,      # [1, TS, 1] centroid coords
     cy_ref,
     cz_ref,
@@ -997,7 +997,9 @@ def _sa_kernel_f1(
     czs = [cz_ref[0, g, 0] for g in range(ts)]
 
     planes = pts_ref[0]                                   # [p*nc, 128]
-    ids = cw_ref[0].reshape(rbf, 1)                       # [(g,w), 1] i32
+    # ids arrive pre-shaped [(g,w), 1] from XLA: Mosaic cannot shape-cast
+    # a [ts, w] block into sublanes (r4b: "unsupported shape cast").
+    ids = cw_ref[0]                                       # [(g,w), 1] i32
 
     # ---- 1. candidate compaction: ONE one-hot MXU matmul ------------------
     # rows (g, ch, w) select planes row (ch, ids[g, w]).
@@ -1006,8 +1008,7 @@ def _sa_kernel_f1(
     # target column for row (g, ch, w): ch * nc + ids[g, w]
     ch_of = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // w) % p
     ids_rep = jnp.concatenate(
-        [jnp.broadcast_to(ids[g * w : (g + 1) * w], (p, w, 1)
-                          ).reshape(p * w, 1) for g in range(ts)],
+        [ids[g * w : (g + 1) * w] for g in range(ts) for _ in range(p)],
         axis=0,
     )                                                     # [(g,ch,w), 1]
     if cdt == jnp.float32:
@@ -1206,7 +1207,7 @@ def sa_stage_fast(
         (centroids[:, :, None, :] - chunk_means[:, None, :, :]) ** 2, axis=-1
     )                                                     # [B, S, nc]
     _, cw = jax.lax.top_k(-d2, window)                    # [B, S, W] i32
-    cw = cw.astype(jnp.int32)
+    cw = cw.astype(jnp.int32).reshape(b, s * window, 1)
 
     crep = jnp.repeat(
         jnp.swapaxes(centroids, 1, 2), 128, axis=2
@@ -1235,7 +1236,7 @@ def sa_stage_fast(
         in_specs=[
             pl.BlockSpec((1, p * nc, 128), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_s, window), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, tile_s * window, 1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             cspec, cspec, cspec,
             pl.BlockSpec((1, 3, tile_s * 128), lambda i, j: (i, 0, j),

@@ -48,10 +48,28 @@ def _seg_seg_dist(p1, q1, p2, q2):
     return jnp.linalg.norm(c1 - c2, axis=-1)
 
 
-# capsules in link frames (hull_proxy) + a gripper capsule in right_gripper
+# capsules in link frames (hull_proxy) + a gripper capsule in right_gripper.
+#
+# r4 refinement (VERDICT r3 #7): the depth study below showed that ALL deep
+# (>2 cm) proxy-only positives were concentrated (262/272) at the
+# link4-forearm-capsule vs gripper-capsule pair, while the sphere checker's
+# own minimum pair gap at those configs was 10-28 cm — i.e. the proxy, not
+# the sphere table, was wrong there. Geometric audit: hull_proxy's forearm
+# capsule runs all the way to the joint-5 origin (the WRIST CENTER) at
+# r=0.06, and together with the hand capsule it overfills the wrist
+# junction with volume no real body occupies. For self-collision grading
+# the forearm capsule therefore ends at 70% of the elbow->wrist axis (the
+# wrist-side 30% is real forearm-shell geometry already covered by the
+# link5 capsule, which IS kept). hull_proxy.ARM_CAPSULES itself is
+# unchanged: for scene-collision recall, conservatism is the safe side.
+_SELF_CAPS = []
+for f, p0, p1, r in hull_proxy.ARM_CAPSULES:
+    if f == "panda_link4":
+        p1 = tuple(0.7 * np.asarray(p1))
+    _SELF_CAPS.append((f, p0, p1, r))
 CAPS = [
     (franka.FRAME_INDEX[f], np.asarray(p0), np.asarray(p1), r)
-    for f, p0, p1, r in hull_proxy.ARM_CAPSULES
+    for f, p0, p1, r in _SELF_CAPS
 ] + [
     (franka.FRAME_INDEX["right_gripper"],
      np.array([0.0, -0.09, -0.09]), np.array([0.0, 0.09, -0.09]), 0.04),
@@ -68,7 +86,7 @@ CHAIN_DEPTH = {
 }
 
 
-def capsule_self_collision(q):
+def capsule_self_collision(q, return_depth=False):
     rots, transs = kinematics.fk_frames(q)
     ends = []
     for f, p0, p1, r in CAPS:
@@ -81,6 +99,8 @@ def capsule_self_collision(q):
             f,
         ))
     hit = jnp.zeros(q.shape[:-1], bool)
+    depth = jnp.zeros(q.shape[:-1], q.dtype)
+    pair_depths = {}
     for i, j in itertools.combinations(range(len(ends)), 2):
         fi, fj = ends[i][3], ends[j][3]
         di = CHAIN_DEPTH[franka.FRAMES[fi]]
@@ -91,7 +111,12 @@ def capsule_self_collision(q):
             # bodies (depth 6-7), so the margin is 4 joints, not 3
             continue
         d = _seg_seg_dist(ends[i][0], ends[i][1], ends[j][0], ends[j][1])
-        hit = hit | (d < ends[i][2] + ends[j][2])
+        pen = jnp.maximum(ends[i][2] + ends[j][2] - d, 0.0)
+        hit = hit | (pen > 0)
+        depth = jnp.maximum(depth, pen)
+        pair_depths[(franka.FRAMES[fi], franka.FRAMES[fj])] = pen
+    if return_depth:
+        return hit, depth, pair_depths
     return hit
 
 
@@ -101,13 +126,71 @@ def main():
     sphere = np.asarray(jax.jit(kinematics.self_collision)(qs)).any(-1) \
         if jax.jit(kinematics.self_collision)(qs).ndim > 1 \
         else np.asarray(jax.jit(kinematics.self_collision)(qs))
-    caps = np.asarray(jax.jit(capsule_self_collision)(qs))
+    caps_hit, caps_depth, pair_depths = jax.jit(
+        lambda q: capsule_self_collision(q, return_depth=True)
+    )(qs)
+    caps = np.asarray(caps_hit)
+    depth = np.asarray(caps_depth)
     both = int((sphere & caps).sum())
     print(f"samples {n}: sphere rate {sphere.mean():.3f}, "
           f"capsule-proxy rate {caps.mean():.3f}")
     print(f"agreement {100*(sphere == caps).mean():.1f}%  "
           f"recall(sphere finds proxy hits) {both/max(caps.sum(),1):.3f}  "
           f"precision {both/max(sphere.sum(),1):.3f}")
+
+    # ---- VERDICT r3 #7: recall vs capsule penetration DEPTH ----------------
+    # Shallow proxy-only positives are capsule conservatism (inflated radii,
+    # idealized axes); deep ones would be genuine sphere-table misses.
+    print("\nrecall vs proxy penetration depth (proxy-positive configs):")
+    edges = [0.0, 0.005, 0.01, 0.02, 0.03, 0.05, 1.0]
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        sel = caps & (depth > lo) & (depth <= hi)
+        nsel = int(sel.sum())
+        rec = float(sphere[sel].mean()) if nsel else float("nan")
+        print(f"  depth ({100*lo:4.1f}, {100*hi:4.1f}] cm: n={nsel:4d} "
+              f"sphere-recall {rec:.3f}")
+
+    # which capsule pairs drive the DEEP sphere-missed positives?
+    deep_missed = caps & ~sphere & (depth > 0.02)
+    print(f"\ndeep (>2 cm) proxy-only positives missed by spheres: "
+          f"{int(deep_missed.sum())}/{n}")
+    if deep_missed.any():
+        print("driving capsule pairs (count of deep-missed configs where the "
+              "pair penetrates > 2 cm):")
+        rows = []
+        for pair, pen in pair_depths.items():
+            pen = np.asarray(pen)
+            cnt = int((deep_missed & (pen > 0.02)).sum())
+            if cnt:
+                rows.append((cnt, pair))
+        for cnt, pair in sorted(rows, reverse=True):
+            print(f"  {cnt:5d}  {pair[0]} -- {pair[1]}")
+
+        # The decisive evidence (r4): what does the 57-sphere model itself
+        # (the reference's NVIDIA-tuned surface cover) think the clearance
+        # is at those configs? Double-digit cm => the capsules, not the
+        # spheres, are wrong there (junction overfill), so the deep
+        # proxy-only positives are PROXY FALSE POSITIVES.
+        rots, trans = jax.jit(kinematics.fk_frames)(qs[deep_missed])
+        centers = np.asarray(
+            jnp.einsum(
+                "...fij,sj->...si",
+                rots[:, franka.SPHERE_FRAMES],
+                jnp.asarray(franka.SPHERE_CENTERS),
+            )
+            + trans[:, franka.SPHERE_FRAMES]
+        )
+        P = franka.SELF_COLLISION_PAIRS
+        th = franka.SELF_COLLISION_THRESH
+        gap = (
+            np.linalg.norm(centers[:, P[:, 0]] - centers[:, P[:, 1]], axis=-1)
+            - th
+        ).min(1)
+        print(
+            "sphere-checker min pair gap on those configs: "
+            f"mean {gap.mean():.3f} m, median {np.median(gap):.3f} m, "
+            f"p10 {np.percentile(gap, 10):.3f} m"
+        )
 
 
 if __name__ == "__main__":
