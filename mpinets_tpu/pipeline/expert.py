@@ -308,6 +308,71 @@ def _via_init(q_start, via, q_goal):
     return jnp.concatenate([a, b[1:]], axis=0)
 
 
+#: sampled-via global stage (r4): candidate count and survivors
+VIA_SAMPLES = 48
+VIA_KEEP = 2
+
+
+def sample_via_configs(
+    key: jax.Array,
+    q_start: jnp.ndarray,
+    q_goal: jnp.ndarray,
+    scene,
+    n_samples: int = VIA_SAMPLES,
+    n_keep: int = VIA_KEEP,
+) -> jnp.ndarray:
+    """Coarse batched global stage feeding the optimizer (the TPU-native
+    stand-in for a sampling-based planner's exploration, VERDICT r3 #5):
+    sample random via configurations (half uniform in the joint limits,
+    half Gaussian around the start/goal midpoint), filter by 57-sphere
+    scene clearance, rank by the collision+length cost of the two-segment
+    path through each via, and return the best ``n_keep`` as optimizer
+    seeds. Fully vmappable — thousands of pairs run this in lockstep.
+
+    Returns [n_keep, 7] via configurations (infeasible scenes still return
+    the least-bad vias; the downstream optimizer + verifier reject them).
+    """
+    from mpinets_tpu.kernels import ik as ik_mod
+
+    lim = jnp.asarray(franka.REAL_JOINT_LIMITS, q_start.dtype)
+    span = lim[:, 1] - lim[:, 0]
+    ku, kn = jax.random.split(key)
+    n_u = n_samples // 2
+    vias_u = lim[:, 0] + jax.random.uniform(
+        ku, (n_u, 7), dtype=q_start.dtype
+    ) * span
+    mid = 0.5 * (q_start + q_goal)
+    vias_m = mid + jax.random.normal(
+        kn, (n_samples - n_u, 7), dtype=q_start.dtype
+    ) * (0.25 * span)
+    vias = jnp.clip(
+        jnp.concatenate([vias_u, vias_m], axis=0), lim[:, 0], lim[:, 1]
+    )                                                       # [K, 7]
+
+    free = ik_mod.franka_free_space(vias, scene, margin=0.01)  # [K]
+
+    paths = jax.vmap(
+        lambda v: via_point_path(q_start, v, q_goal, 24)
+    )(vias)                                                 # [K, 24, 7]
+    centers = kinematics.scene_collision_spheres(
+        paths.reshape(-1, 7)
+    )                                                       # [K*24, 56, 3]
+    radii = jnp.asarray(franka.SCENE_SPHERE_RADII, q_start.dtype)
+    d = sdf.scene_sdf(centers.reshape(-1, 3)[None], scene)[0]
+    pen = jnp.maximum(
+        radii[None, :] + OPT_MARGIN - d.reshape(centers.shape[0], -1), 0.0
+    )
+    pen_per_path = jnp.sum(
+        (pen * pen).reshape(n_samples, -1), axis=-1
+    )
+    length = jnp.sum(
+        jnp.linalg.norm(jnp.diff(paths, axis=1), axis=-1), axis=-1
+    )
+    score = 100.0 * pen_per_path + length + jnp.where(free, 0.0, 1e6)
+    _, top = jax.lax.top_k(-score, n_keep)
+    return vias[top]                                        # [n_keep, 7]
+
+
 def _try_optimized(q_start, q_goal, target_rot, target_trans, scene, init):
     """One optimizer restart: optimize, dense-verify, retime, final-verify.
     Returns (traj [SEQUENCE_LENGTH, 7], valid, severity score)."""
@@ -335,6 +400,7 @@ def plan_pair_optimized(
     target_rot: jnp.ndarray,
     target_trans: jnp.ndarray,
     scene,
+    key: jax.Array | None = None,
 ) -> PlanResult:
     """Full planning attempt: smooth family first, then MULTI-RESTART
     SDF-cost optimization (straight-line seed plus two via-configuration
@@ -357,10 +423,20 @@ def plan_pair_optimized(
     retract = 0.5 * (q_start + q_goal)
     # a retract via: shoulder/elbow pulled toward neutral, wrist averaged
     retract = retract.at[1].set(neutral[1]).at[3].set(neutral[3])
+    if key is None:
+        # deterministic per-pair key derived from the endpoint configs
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(0x5EED),
+            jnp.sum(q_start * 1e4 + q_goal * 1e3).astype(jnp.int32),
+        )
+    sampled_vias = sample_via_configs(key, q_start, q_goal, scene)
     seeds = [
         min_jerk_interp(q_start, q_goal, OPT_PATH_LEN),
         _via_init(q_start, neutral, q_goal),
         _via_init(q_start, retract, q_goal),
+    ] + [
+        _via_init(q_start, sampled_vias[i], q_goal)
+        for i in range(sampled_vias.shape[0])
     ]
     valid_opt = jnp.asarray(False)
     which_opt = jnp.asarray(99, jnp.int32)

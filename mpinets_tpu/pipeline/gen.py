@@ -206,6 +206,8 @@ def gen(
         total["scenes"] += 1
         total["pairs"] += stats["pairs"]
         total["valid"] += stats["valid"]
+        for k, v in env.funnel.items():
+            total[f"funnel_{k}"] = total.get(f"funnel_{k}", 0) + v
         for k, v in stats.items():
             if k not in ("pairs", "valid"):
                 total[k] = total.get(k, 0) + v
@@ -243,6 +245,17 @@ def gen(
         f"{total['valid']}/{total['pairs']} plans valid ({100*rate:.1f}%)",
         flush=True,
     )
+    if total.get("funnel_poses"):
+        fp = total
+        print(
+            "candidate-IK funnel: "
+            f"{fp['funnel_poses']} poses -> {fp['funnel_ik_solved']} accurate IK "
+            f"({100*fp['funnel_ik_solved']/fp['funnel_poses']:.1f}%) -> "
+            f"{fp['funnel_free']} collision-free "
+            f"({100*fp['funnel_free']/max(fp['funnel_ik_solved'],1):.1f}% of solved) -> "
+            f"{fp['funnel_kept']} kept",
+            flush=True,
+        )
     return total
 
 
