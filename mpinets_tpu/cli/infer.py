@@ -47,11 +47,35 @@ PROBLEM_TYPES = ("task-oriented", "neutral-start", "neutral-goal")
 def load_params(path: str, model: MotionPolicyNetwork):
     p = Path(path)
     if p.is_dir():
-        example = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 6272, 4)), jnp.zeros((1, 7))
-        )
         step_dir = ckpt_mod.latest_checkpoint(p) or p
-        restored = ckpt_mod.restore_checkpoint(step_dir, None)
+        try:
+            restored = ckpt_mod.restore_checkpoint(step_dir, None)
+        except FileNotFoundError:
+            # ocdbt-layout checkpoints (what our trainer writes) need the
+            # target tree; rebuild the full TrainState example the trainer
+            # saves (params + adam state + step).
+            from mpinets_tpu.train import learner
+
+            example = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 6272, 4)),
+                jnp.zeros((1, 7)),
+            )
+            state = learner.TrainState(
+                example, learner.make_optimizer().init(example),
+                jnp.zeros((), jnp.int32),
+            )
+            try:
+                restored = ckpt_mod.restore_checkpoint(step_dir, state)
+            except FileNotFoundError:
+                # named (best/last) dirs written by interrupted runs can
+                # lack orbax's _METADATA; fall back to the step_* sibling
+                # the `<name>.step` marker points at.
+                sd = Path(step_dir)
+                marker = sd.parent / f"{sd.name}.step"
+                if not marker.exists():
+                    raise
+                sib = sd.parent / f"step_{int(marker.read_text()):08d}"
+                restored = ckpt_mod.restore_checkpoint(sib, state)
         if isinstance(restored, dict):
             if "opt_state" in restored or "step" in restored:
                 # serialized TrainState dict: {step, params: {params: ...},
@@ -62,7 +86,6 @@ def load_params(path: str, model: MotionPolicyNetwork):
         # TrainState object layout: take .params
         if hasattr(restored, "params"):
             return restored.params
-        del example
         return restored
     return ckpt_mod.load_torch_checkpoint(p)
 

@@ -49,10 +49,15 @@ def make_sa_stage_train(
     tile_s: int = 16,
     sa_impl: str = "v5",
     pad_chunks: bool = False,
+    features_grad: bool = True,
 ):
     """Returns a differentiable ``sa(xyz, features, centroids, w..., b...)``
     whose primal runs the fused Pallas kernel and whose VJP recomputes the
-    gather/MLP/max chain in XLA from the saved neighbor indices."""
+    gather/MLP/max chain in XLA from the saved neighbor indices.
+
+    ``features_grad=False`` skips the feature-input cotangent (and its
+    scatter-add) entirely — correct when the stage's features are data, as
+    at SA0 where they are the segmentation labels."""
     cdt = compute_dtype
 
     def _kernel(xyz, features, centroids, w1, b1, w2, b2, w3, b3):
@@ -91,13 +96,24 @@ def make_sa_stage_train(
 
     def bwd(res, g):
         xyz, features, centroids, w1, b1, w2, b2, w3, b3, idx = res
-        _, vjp = jax.vjp(
-            functools.partial(
-                _recompute, xyz=xyz, centroids=centroids, idx=idx
-            ),
-            features, w1, b1, w2, b2, w3, b3,
-        )
-        gf, gw1, gb1, gw2, gb2, gw3, gb3 = vjp(g)
+        if features_grad:
+            _, vjp = jax.vjp(
+                functools.partial(
+                    _recompute, xyz=xyz, centroids=centroids, idx=idx
+                ),
+                features, w1, b1, w2, b2, w3, b3,
+            )
+            gf, gw1, gb1, gw2, gb2, gw3, gb3 = vjp(g)
+        else:
+            _, vjp = jax.vjp(
+                functools.partial(
+                    _recompute, features, xyz=xyz, centroids=centroids,
+                    idx=idx,
+                ),
+                w1, b1, w2, b2, w3, b3,
+            )
+            gw1, gb1, gw2, gb2, gw3, gb3 = vjp(g)
+            gf = jnp.zeros_like(features)
         return (
             jnp.zeros_like(xyz), gf, jnp.zeros_like(centroids),
             gw1, gb1, gw2, gb2, gw3, gb3,
@@ -135,9 +151,12 @@ def fused_policy_apply_train(
     xyz = point_cloud[..., :3]
     feat = point_cloud[..., 3:]
 
+    # SA0's features input is the segmentation label column (pure data), so
+    # its feature cotangent — the scatter-add over the full 6272-point cloud
+    # — is never needed.
     sa0 = make_sa_stage_train(
         SA0["radius"], SA0["nsample"], cdt, interpret, sa_tiles[0], sa_impl,
-        pad_chunks=sa_impl == "v5",
+        pad_chunks=sa_impl in ("v5", "v8"), features_grad=False,
     )
     sa1 = make_sa_stage_train(
         SA1["radius"], SA1["nsample"], cdt, interpret, sa_tiles[1], sa_impl,

@@ -88,13 +88,14 @@ def loss_fn(
     q = batch["configuration"]
     delta = forward(params, batch["xyz"], q)
     y_hat = jnp.clip(q + delta, -1.0, 1.0)  # model.py:202
-    collision, point_match = losses.bc_losses(
+    collision, point_match, hinge_active = losses.bc_losses(
         y_hat, batch["supervision"], scene_from_batch(batch)
     )
     total = point_match_weight * point_match + collision_weight * collision
     return total, {
         "point_match_loss": point_match,
         "collision_loss": collision,
+        "hinge_active_frac": hinge_active,
         "val_loss": total,  # reference's (misnamed) training loss log key
     }
 

@@ -28,9 +28,16 @@ header = (
     "verify_trajectory predicates (gen_data.py:396-430). Note: a plan can "
     "carry several failure codes, and the smooth-family fallback means "
     "'valid' counts plans passing ALL five predicates.\n\n"
+    "r4: failure codes are tallied on the best ATTEMPTED trajectory (the r3\n"
+    "zeros-placeholder artifact is fixed, so the per-code columns diagnose\n"
+    "real failure modes), the planner gained a sampled-via global stage\n"
+    "(2 scene-clearance-filtered random vias feed the optimizer as extra\n"
+    "restarts), and the candidate-IK rejection funnel is recorded per\n"
+    "family (pose proposals -> accurate IK -> collision-free -> kept).\n\n"
     "| family | scenes | plans valid / attempted | valid % | miss | jerk | "
-    "self-coll | env-coll | limits | wall-clock |\n"
-    "|---|---|---|---|---|---|---|---|---|---|\n"
+    "self-coll | env-coll | limits | IK funnel (poses->solved->free) | "
+    "wall-clock |\n"
+    "|---|---|---|---|---|---|---|---|---|---|---|\n"
 )
 
 
@@ -41,12 +48,16 @@ def write_md():
             continue
         r, secs = results[fam]
         rate = 100.0 * r["valid"] / max(r["pairs"], 1)
+        funnel = (
+            f"{r.get('funnel_poses', 0)} -> {r.get('funnel_ik_solved', 0)} "
+            f"-> {r.get('funnel_free', 0)}"
+        )
         rows.append(
             f"| {fam} | {r['scenes']}/{N_SCENES} | {r['valid']} / "
             f"{r['pairs']} | {rate:.1f}% | {r.get('miss', 0)} | "
             f"{r.get('jerk', 0)} | {r.get('self_collision', 0)} | "
             f"{r.get('env_collision', 0)} | {r.get('limit_violation', 0)} | "
-            f"{secs/60:.0f} min |"
+            f"{funnel} | {secs/60:.0f} min |"
         )
     with open("/root/repo/GEN_STATS.md", "w") as f:
         f.write(header + "\n".join(rows) + "\n")

@@ -98,3 +98,42 @@ def test_data_parallel_step_matches_single_device():
     flat8 = jax.tree.leaves(s8.params)
     for a, b in zip(flat1, flat8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_hinge_fires_on_near_collision_configs():
+    """bc_losses' collision hinge + activation diagnostic must FIRE when the
+    predicted configuration puts the robot near scene geometry (VERDICT r3
+    #4: verify the loss is live before blaming the data distribution)."""
+    import jax
+
+    from mpinets_tpu.geom.scene import empty_scene
+    from mpinets_tpu.kernels import kinematics
+    from mpinets_tpu.robot import franka
+    from mpinets_tpu.train.loss import bc_losses
+    from mpinets_tpu.utils.normalization import normalize_franka_joints
+
+    q = jnp.asarray(franka.NEUTRAL_Q, jnp.float32)[None]
+    qn = normalize_franka_joints(q)
+    # wall right through the neutral-pose end effector
+    _, eff = kinematics.eff_pose(q[0])
+    scene = empty_scene(batch_shape=(1,))._replace(
+        cuboid_dims=jnp.full((1, 1, 3), 0.2),
+        cuboid_centers=eff[None, None, :],
+        cuboid_quats=jnp.asarray([[[1.0, 0.0, 0.0, 0.0]]]),
+    )
+    coll, pm, active = jax.jit(bc_losses)(qn, qn, scene)
+    assert float(coll) > 0.0, "collision hinge did not fire near a wall"
+    assert float(active) > 0.0
+    assert float(pm) == 0.0
+
+    # far-away wall: hinge silent
+    far = scene._replace(
+        cuboid_centers=jnp.asarray([[[5.0, 5.0, 5.0]]])
+    )
+    coll2, _, active2 = jax.jit(bc_losses)(qn, qn, far)
+    assert float(coll2) == 0.0
+    assert float(active2) == 0.0
+
+    # and its gradient pushes the configuration (nonzero wrt y_hat)
+    g = jax.grad(lambda y: bc_losses(y, qn, scene)[0])(qn)
+    assert float(jnp.abs(g).max()) > 0.0
