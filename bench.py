@@ -91,8 +91,14 @@ def main() -> None:
                         help="carry coordinates in bf16 through FPS")
     parser.add_argument("--fps-impl", default="v1", choices=("v1", "v2"),
                         help="Pallas FPS kernel variant")
-    parser.add_argument("--sa-impl", default="v5", choices=("v3", "v5", "v8"),
-                        help="fused SA kernel variant")
+    parser.add_argument("--sa-impl", default="v8", choices=("v3", "v5", "v8"),
+                        help="fused SA kernel variant (v8 = r4 default: "
+                             "hoisted gather table + MXU recentring bias)")
+    parser.add_argument("--fast-grouping", type=int, default=0, metavar="W",
+                        help="RELAXED chunk-window grouping at SA0 (each "
+                             "centroid searches only its W nearest point "
+                             "chunks); metric deltas vs the exact path are "
+                             "recorded in ONCHIP_EVIDENCE.json")
     parser.add_argument("--gather16", action="store_true",
                         help="16-bit in-kernel SA gathers (bf16 data + i16 "
                              "indices); requires Mosaic support")
@@ -110,6 +116,7 @@ def main() -> None:
     apply_fn = None if args.no_fused else make_fused_apply(
         jnp.bfloat16, bf16_cloud=args.bf16_cloud, fps_impl=args.fps_impl,
         gather16=args.gather16, sa_impl=args.sa_impl,
+        fast_grouping=args.fast_grouping,
     )
 
     if args.profile:

@@ -76,7 +76,7 @@ def fused_policy_apply(
     bf16_cloud: bool = False,
     fps_impl: str = "v1",
     gather16: bool = False,
-    sa_impl: str = "v5",
+    sa_impl: str = "v8",
     fast_grouping: int = 0,
 ) -> jnp.ndarray:
     """Delta-q prediction, numerically equivalent to ``model.apply``.
@@ -185,14 +185,15 @@ def make_fused_apply(
     bf16_cloud: bool = False,
     fps_impl: str = "v1",
     gather16: bool = False,
-    sa_impl: str = "v5",
+    sa_impl: str = "v8",
     fast_grouping: int = 0,
 ):
     """(variables, xyz, q) -> dq, matching the model.apply signature.
 
-    Defaults are the r3 on-chip sweep winners: the v6 SA kernel (batched
-    gather + MXU prefix, impl name "v5"), SA tiles 16, FPS batch-tile 128.
-    ``fast_grouping=W`` enables the relaxed chunk-window SA0.
+    Defaults are the r4 on-chip winners: the v8 SA kernel (hoisted gather
+    table + MXU recentring bias; 319 vs 380 us/sample fwd at B=256), SA
+    tiles 16, FPS batch-tile 128. ``fast_grouping=W`` enables the relaxed
+    chunk-window SA0 (metric deltas in ONCHIP_EVIDENCE.json).
     """
 
     def apply(variables, point_cloud, q_norm):

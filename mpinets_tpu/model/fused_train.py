@@ -47,7 +47,7 @@ def make_sa_stage_train(
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
     tile_s: int = 16,
-    sa_impl: str = "v5",
+    sa_impl: str = "v8",
     pad_chunks: bool = False,
     features_grad: bool = True,
 ):
@@ -139,7 +139,7 @@ def fused_policy_apply_train(
     sa_npoints: tuple = (512, 128),
     sa_tiles: tuple = (16, 16),
     fps_tile: int = 128,
-    sa_impl: str = "v5",
+    sa_impl: str = "v8",
 ) -> jnp.ndarray:
     """Differentiable twin of
     :func:`mpinets_tpu.model.fused.fused_policy_apply`: same value (fused
@@ -185,7 +185,7 @@ def make_fused_train_apply(
     sa_npoints: tuple = (512, 128),
     sa_tiles: tuple = (16, 16),
     fps_tile: int = 128,
-    sa_impl: str = "v5",
+    sa_impl: str = "v8",
 ):
     """(variables, point_cloud, q_norm) -> dq with exact parameter VJP."""
 
