@@ -101,6 +101,7 @@ def evaluate_problem_set(
     model: MotionPolicyNetwork | None = None,
     use_depth: bool = False,
     fused: bool | None = None,
+    fast_grouping: int = 0,
     b1_timing: bool = False,
 ) -> Evaluator:
     """Batched evaluation of a ProblemSet with the reference's Evaluator
@@ -126,10 +127,12 @@ def evaluate_problem_set(
         from mpinets_tpu.model.fused import make_fused_apply
 
         apply_fn = make_fused_apply(
-            model.compute_dtype, sa_npoints=model.sa_npoints
+            model.compute_dtype, sa_npoints=model.sa_npoints,
+            fast_grouping=fast_grouping,
         )
     print(
-        f"# rollout path: {'fused-pallas' if fused else 'xla'} "
+        f"# rollout path: {'fused-pallas' if fused else 'xla'}"
+        f"{f'+fast{fast_grouping}' if fused and fast_grouping else ''} "
         f"({model.compute_dtype.__name__})",
         flush=True,
     )
@@ -224,6 +227,12 @@ def main(argv=None) -> None:
                         help="evaluate in fp32 instead of bf16")
     parser.add_argument("--use-depth", action="store_true",
                         help="policy consumes depth-rendered obstacle clouds")
+    parser.add_argument("--fast-grouping", type=int, default=0,
+                        metavar="W",
+                        help="RELAXED chunk-window SA0 grouping (each "
+                             "centroid searches only its W nearest point "
+                             "chunks; measured deltas in "
+                             "ONCHIP_EVIDENCE.json). 0 = exact semantics")
     parser.add_argument("--no-fused", action="store_true",
                         help="force the plain-XLA model.apply rollout path "
                              "(default: fused Pallas kernels on TPU)")
@@ -247,6 +256,7 @@ def main(argv=None) -> None:
         params, problem_set, args.scene_type, args.problem_type,
         batch_size=args.batch_size, max_problems=args.max_problems, model=model,
         use_depth=args.use_depth, fused=False if args.no_fused else None,
+        fast_grouping=args.fast_grouping,
         b1_timing=args.b1_timing,
     )
     print("\n== overall ==")

@@ -80,7 +80,7 @@ class Planner:
 
     def __init__(self, params, scan_xyz: np.ndarray,
                  max_steps: int = MAX_ROLLOUT_LENGTH, model=None,
-                 fused: bool | None = None):
+                 fused: bool | None = None, fast_grouping: int = 0):
         self.model = model or MotionPolicyNetwork(compute_dtype=jnp.bfloat16)
         self.params = params
         self.obstacle_points = clean_point_cloud(scan_xyz)
@@ -92,7 +92,8 @@ class Planner:
             from mpinets_tpu.model.fused import make_fused_apply
 
             apply_fn = make_fused_apply(
-                self.model.compute_dtype, sa_npoints=self.model.sa_npoints
+                self.model.compute_dtype, sa_npoints=self.model.sa_npoints,
+                fast_grouping=fast_grouping,
             )
         print(f"# rollout path: {'fused-pallas' if fused else 'xla'}",
               file=sys.stderr, flush=True)

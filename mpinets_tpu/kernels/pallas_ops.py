@@ -321,7 +321,8 @@ def _sa_kernel(
     # every grid step and capped the centroid tile size; Mosaic cannot
     # shape-cast [rb, 1] <-> [ts, nc], so the scan stays in the rb domain.
     local_cnt = jnp.dot(
-        in_ball, lt_ref[:], preferred_element_type=f32
+        in_ball, lt_ref[:], preferred_element_type=f32,
+        precision=jax.lax.Precision.DEFAULT,
     )                                                    # [rb, 128]
     tot = local_cnt[:, 127:128]                          # [rb, 1]
     pos_ib = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0) % nc
@@ -565,13 +566,16 @@ def _sa_kernel_v5(
     # lanes via an all-ones matmul, then base_excl via the strictly-lower
     # block-diagonal constant. All products are exact (0/1 weights, counts
     # <= 128 are bf16-exact, f32 accumulation).
-    local_cnt = jnp.dot(in_ball, lt_ref[:], preferred_element_type=f32)
+    local_cnt = jnp.dot(in_ball, lt_ref[:], preferred_element_type=f32,
+                        precision=jax.lax.Precision.DEFAULT)
     ones128 = (lt_ref[:] * 0 + 1).astype(jnp.bfloat16)
     tot_b = jnp.dot(
-        in_ball, ones128, preferred_element_type=f32
+        in_ball, ones128, preferred_element_type=f32,
+        precision=jax.lax.Precision.DEFAULT,
     )                                                    # [rb, 128] = tot
     base_b = jnp.dot(
-        bd_ref[:], tot_b.astype(jnp.bfloat16), preferred_element_type=f32
+        bd_ref[:], tot_b.astype(jnp.bfloat16), preferred_element_type=f32,
+        precision=jax.lax.Precision.DEFAULT,
     )                                                    # [rb, 128] = base_excl
     tot = tot_b[:, 0:1]                                  # [rb, 1]
     base_excl = base_b[:, 0:1]
@@ -817,11 +821,14 @@ def _sa_kernel_v8(
     in_ball = jnp.concatenate(parts, axis=0)             # [rb, 128]
 
     # ---- 2. inclusive counts + chunk offsets, all on the MXU --------------
-    local_cnt = jnp.dot(in_ball, lt_ref[:], preferred_element_type=f32)
+    local_cnt = jnp.dot(in_ball, lt_ref[:], preferred_element_type=f32,
+                        precision=jax.lax.Precision.DEFAULT)
     ones128 = (lt_ref[:] * 0 + 1).astype(jnp.bfloat16)
-    tot_b = jnp.dot(in_ball, ones128, preferred_element_type=f32)
+    tot_b = jnp.dot(in_ball, ones128, preferred_element_type=f32,
+                    precision=jax.lax.Precision.DEFAULT)
     base_b = jnp.dot(
-        bd_ref[:], tot_b.astype(jnp.bfloat16), preferred_element_type=f32
+        bd_ref[:], tot_b.astype(jnp.bfloat16), preferred_element_type=f32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     tot = tot_b[:, 0:1]
     base_excl = base_b[:, 0:1]
@@ -1022,7 +1029,8 @@ def _sa_kernel_f1(
     else:
         onehot = (col_iota == ch_of * nc + ids_rep).astype(jnp.bfloat16)
         cand = jnp.dot(
-            onehot, planes.astype(jnp.bfloat16), preferred_element_type=f32
+            onehot, planes.astype(jnp.bfloat16), preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT,
         )                                                 # [(g,ch,w), 128]
 
     # ---- 2. in-ball mask on candidate rows, [(g,w), 128] ------------------
@@ -1040,11 +1048,14 @@ def _sa_kernel_f1(
     in_ball = jnp.concatenate(parts, axis=0)              # [(g,w), 128]
 
     # ---- 3. counts + window offsets on the MXU ----------------------------
-    local_cnt = jnp.dot(in_ball, lt_ref[:], preferred_element_type=f32)
+    local_cnt = jnp.dot(in_ball, lt_ref[:], preferred_element_type=f32,
+                        precision=jax.lax.Precision.DEFAULT)
     ones128 = (lt_ref[:] * 0 + 1).astype(jnp.bfloat16)
-    tot_b = jnp.dot(in_ball, ones128, preferred_element_type=f32)
+    tot_b = jnp.dot(in_ball, ones128, preferred_element_type=f32,
+                    precision=jax.lax.Precision.DEFAULT)
     base_b = jnp.dot(
-        bdw_ref[:], tot_b.astype(jnp.bfloat16), preferred_element_type=f32
+        bdw_ref[:], tot_b.astype(jnp.bfloat16), preferred_element_type=f32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     tot = tot_b[:, 0:1]
     base_excl = base_b[:, 0:1]
