@@ -763,6 +763,7 @@ def _sa_kernel_v8(
     bd_ref,      # [RB, RB] strictly-lower block-diagonal ones (bf16)
     out_ref,     # [1, TS, C3]
     idx_ref,     # [1, TS, ns] selected indices (int32)
+    raw_ref=None,  # [1, P, TS*128] gathered raw channels (train path)
     *,
     radius: float,
     nsample: int,
@@ -886,6 +887,10 @@ def _sa_kernel_v8(
     raw_lanes = jnp.concatenate(
         [merged[g * p : (g + 1) * p] for g in range(ts)], axis=1
     )                                                    # [p, ts*128]
+    if raw_ref is not None:
+        # train path: expose the gathered (masked, NON-recentred) raw block
+        # so the backward pass never re-gathers through XLA (fused_train.py)
+        raw_ref[0] = raw_lanes
 
     # ---- 6. recentring bias via MXU + per-centroid valid columns ----------
     w1t = w1t_ref[:, :p].astype(cdt)
@@ -1302,7 +1307,7 @@ def _bd_strict(ts: int, nc: int) -> jnp.ndarray:
     static_argnames=(
         "radius", "nsample", "compute_dtype", "interpret", "tile_s",
         "gather16", "impl", "debug_stop", "pad_chunks",
-        "centroids_in_cloud",
+        "centroids_in_cloud", "return_raw",
     ),
 )
 def sa_stage(
@@ -1322,6 +1327,7 @@ def sa_stage(
     debug_stop: int = 0,
     pad_chunks: bool = False,
     centroids_in_cloud: bool = False,
+    return_raw: bool = False,
 ):
     """Fused SA stage.
 
@@ -1385,6 +1391,16 @@ def sa_stage(
             tile_s=tile_s,
             debug_stop=debug_stop,
         )
+        extra_out_specs = []
+        extra_out_shapes = []
+        if return_raw:
+            extra_out_specs = [
+                pl.BlockSpec((1, p, tile_s * 128), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM)
+            ]
+            extra_out_shapes = [
+                jax.ShapeDtypeStruct((b, p, s * 128), jnp.float32)
+            ]
         # Gather table (rows (g, ch, k)) tiled in XLA — measured
         # 1.17 us/sample (r4a) and delivered once per sample (index map
         # ignores j, so Pallas skips the re-copy across the centroid grid
@@ -1399,7 +1415,7 @@ def sa_stage(
         cspec = pl.BlockSpec(
             (1, tile_s, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         )
-        feats_t, idx = pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
@@ -1424,10 +1440,12 @@ def sa_stage(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tile_s, nsample), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM),
+                *extra_out_specs,
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((b, s, c3), jnp.float32),
                 jax.ShapeDtypeStruct((b, s, nsample), jnp.int32),
+                *extra_out_shapes,
             ),
             interpret=interpret,
         )(
@@ -1437,6 +1455,12 @@ def sa_stage(
             w1p.T, b1.reshape(-1, 1), w2.T, b2.reshape(-1, 1),
             w3.T, b3.reshape(-1, 1), lt, _bd_strict(tile_s, nc),
         )
+        if return_raw:
+            feats_t, idx, raw = out
+            # [B, p, S*128] -> [B, S, ns, p] (slot-major, channel-minor)
+            raw = jnp.swapaxes(raw, 1, 2).reshape(b, s, nsample, p)
+            return feats_t[:, :s_in], idx[:, :s_in], raw[:, :s_in]
+        feats_t, idx = out
         return feats_t[:, :s_in], idx[:, :s_in]
 
     if impl == "v5":

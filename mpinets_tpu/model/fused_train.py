@@ -55,10 +55,19 @@ def make_sa_stage_train(
     whose primal runs the fused Pallas kernel and whose VJP recomputes the
     gather/MLP/max chain in XLA from the saved neighbor indices.
 
-    ``features_grad=False`` skips the feature-input cotangent (and its
-    scatter-add) entirely — correct when the stage's features are data, as
-    at SA0 where they are the segmentation labels."""
+    ``features_grad=False`` skips the feature-input cotangent entirely —
+    correct when the stage's features are data, as at SA0 where they are
+    the segmentation labels.
+
+    Backward design (r4d on-chip attribution): the naive saved-index
+    recompute spent ~90% of the train step re-GATHERING neighbor rows
+    through XLA and scattering feature cotangents back. The v8 kernel
+    therefore exposes its already-gathered raw block as a third output;
+    the backward is then pure dense MLP matmuls over that block (the valid
+    mask is reconstructed from the index fills), and the feature cotangent
+    rides ONE one-hot MXU matmul instead of an XLA scatter."""
     cdt = compute_dtype
+    use_raw = sa_impl == "v8"
 
     def _kernel(xyz, features, centroids, w1, b1, w2, b2, w3, b3):
         return pallas_ops.sa_stage(
@@ -66,11 +75,30 @@ def make_sa_stage_train(
             radius=radius, nsample=nsample, compute_dtype=cdt,
             interpret=interpret, tile_s=tile_s, impl=sa_impl,
             pad_chunks=pad_chunks, centroids_in_cloud=True,
+            return_raw=use_raw,
         )
 
+    def _mlp_max(h, centroids, valid, w1, b1, w2, b2, w3, b3):
+        """Dense MLP + masked max over slots; h: [B, S, ns, p] raw block
+        (non-recentred; invalid slots are zero rows and masked out).
+        Intermediate activations are stored in ``cdt`` exactly like the
+        kernel does (halves the backward's residual HBM traffic)."""
+        h = jnp.concatenate(
+            [h[..., :3] - centroids[:, :, None, :], h[..., 3:]], axis=-1
+        ).astype(cdt)
+        for w, bias in ((w1, b1), (w2, b2)):
+            h = jnp.maximum(
+                (h @ w.astype(cdt)).astype(jnp.float32) + bias, 0.0
+            ).astype(cdt)
+        h = jnp.maximum(
+            (h @ w3.astype(cdt)).astype(jnp.float32) + b3, 0.0
+        )
+        h = jnp.where(valid[..., None], h, -jnp.inf)
+        return jnp.max(h, axis=2)                          # [B, S, C3]
+
     def _recompute(features, w1, b1, w2, b2, w3, b3, xyz, centroids, idx):
-        """Plain-XLA stage value given the selected indices (mirrors the
-        kernel's bf16-matmul / f32-accumulate numerics)."""
+        """Gather-based fallback (non-v8 impls): stage value given the
+        selected indices, fills included (duplicates never change a max)."""
         b = xyz.shape[0]
         flat = idx.reshape(b, -1)                          # [B, S*ns]
         gx = jnp.take_along_axis(xyz, flat[..., None], axis=1)
@@ -83,20 +111,60 @@ def make_sa_stage_train(
                 (h.astype(cdt) @ w.astype(cdt)).astype(jnp.float32) + bias,
                 0.0,
             )
-        return jnp.max(h, axis=2)                          # [B, S, C3]
+        return jnp.max(h, axis=2)
 
     @jax.custom_vjp
     def sa(xyz, features, centroids, w1, b1, w2, b2, w3, b3):
-        feats, _ = _kernel(xyz, features, centroids, w1, b1, w2, b2, w3, b3)
-        return feats
+        out = _kernel(xyz, features, centroids, w1, b1, w2, b2, w3, b3)
+        return out[0]
 
     def fwd(xyz, features, centroids, w1, b1, w2, b2, w3, b3):
-        feats, idx = _kernel(xyz, features, centroids, w1, b1, w2, b2, w3, b3)
-        return feats, (xyz, features, centroids, w1, b1, w2, b2, w3, b3, idx)
+        out = _kernel(xyz, features, centroids, w1, b1, w2, b2, w3, b3)
+        raw = out[2] if use_raw else None
+        return out[0], (
+            xyz, features, centroids, w1, b1, w2, b2, w3, b3, out[1], raw
+        )
 
     def bwd(res, g):
-        xyz, features, centroids, w1, b1, w2, b2, w3, b3, idx = res
-        if features_grad:
+        xyz, features, centroids, w1, b1, w2, b2, w3, b3, idx, raw = res
+        if use_raw:
+            # valid mask from the fill convention: real selected indices are
+            # distinct, fills duplicate slot 0 (count >= 1 always, since
+            # every centroid is a cloud member).
+            slot0 = idx[..., :1]
+            valid = jnp.concatenate(
+                [jnp.ones_like(idx[..., :1], bool), idx[..., 1:] != slot0],
+                axis=-1,
+            )
+            _, vjp = jax.vjp(
+                lambda raw_, w1_, b1_, w2_, b2_, w3_, b3_: _mlp_max(
+                    raw_, centroids, valid, w1_, b1_, w2_, b2_, w3_, b3_
+                ),
+                raw, w1, b1, w2, b2, w3, b3,
+            )
+            draw, gw1, gb1, gw2, gb2, gw3, gb3 = vjp(g)
+            if features_grad:
+                # draw: [B, S, ns, p] cotangent of the raw block
+                c_feat = features.shape[-1]
+                n = features.shape[1]
+                b = features.shape[0]
+                delta = (
+                    draw[..., 3:] * valid[..., None]
+                ).reshape(b, -1, c_feat)                   # [B, S*ns, C]
+                # segment-sum as ONE one-hot MXU matmul (r4d: XLA scatter
+                # ran at ~14 GB/s; this is a [n, S*ns] x [S*ns, C] einsum)
+                onehot = (
+                    idx.reshape(b, -1)[:, :, None]
+                    == jnp.arange(n)[None, None, :]
+                ).astype(cdt)
+                gf = jnp.einsum(
+                    "bkn,bkc->bnc", onehot, delta.astype(cdt),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+            else:
+                gf = jnp.zeros_like(features)
+        elif features_grad:
             _, vjp = jax.vjp(
                 functools.partial(
                     _recompute, xyz=xyz, centroids=centroids, idx=idx
