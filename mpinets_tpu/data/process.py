@@ -57,13 +57,13 @@ def _scan(files: Sequence[Path]) -> Dict[str, int]:
     return {"n": n, "cuboids": max_c, "cylinders": max_y}
 
 
-def merge_files(files: Sequence[Path], output_file) -> int:
+def merge_files(files: Sequence[Path], output_file, overwrite: bool = False) -> int:
     """Merge schema HDF5 files into ``output_file`` with max-padding on the
     primitive axes. Returns the merged row count."""
     files = [Path(f) for f in files]
     info = _scan(files)
     n, max_c, max_y = info["n"], info["cuboids"], info["cylinders"]
-    with h5py.File(str(output_file), "w-") as g:
+    with h5py.File(str(output_file), "w" if overwrite else "w-") as g:
         with h5py.File(str(files[0]), "r") as f:
             for k in f.keys():
                 prim = _prim_axis(k)

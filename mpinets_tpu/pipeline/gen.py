@@ -232,7 +232,10 @@ def gen(
             problems.extend(hindsight_problems(trajs, env))
 
     if scene_files:
-        merge_files(scene_files, out / "all_data.hdf5")
+        # overwrite: re-running a family into the same directory must not
+        # strand a whole run behind a stale all_data.hdf5 (r4 at-scale:
+        # merged-cubby lost its merge to a leftover previous-round file)
+        merge_files(scene_files, out / "all_data.hdf5", overwrite=True)
         for f in scene_files:
             f.unlink()
     if inference_pkl is not None:

@@ -19,20 +19,21 @@ sys.path.insert(0, "/root/repo")
 
 FAMILIES = ["tabletop", "cubby", "merged-cubby", "dresser"]
 GEN = Path("/root/repo/.gen_scale")
-ROOT = Path("/root/repo/.train_r4")
+ROOT = Path(os.environ.get("TRAIN_R4_ROOT", "/root/repo/.train_r4"))
 DATA = ROOT / "data"
 MAX_EPOCHS = int(os.environ.get("TRAIN_R4_EPOCHS", "4"))
 
-# Wait until the at-scale gen finishes (its log ends with ALL DONE) or every
-# family file exists, with a hard cap.
+# Wait until the at-scale gen finishes (its log ends with ALL DONE): mere
+# file existence is NOT enough -- stale previous-round datasets satisfy it
+# (the first r4 run trained on r3 dresser/merged-cubby files that way).
 t0 = time.time()
 log = Path("/root/repo/.gen_scale_r4.log")
 while True:
-    have = [f for f in FAMILIES if (GEN / f / "all_data.hdf5").exists()]
     done = log.exists() and "ALL DONE" in log.read_text()[-2000:]
-    if done or len(have) == len(FAMILIES):
+    if done:
         break
     if time.time() - t0 > 3.5 * 3600:
+        have = [f for f in FAMILIES if (GEN / f / "all_data.hdf5").exists()]
         print(f"gen never finished; proceeding with {have}", flush=True)
         break
     time.sleep(60)
