@@ -373,10 +373,12 @@ def sample_via_configs(
     return vias[top]                                        # [n_keep, 7]
 
 
-def _try_optimized(q_start, q_goal, target_rot, target_trans, scene, init):
+def _try_optimized(q_start, q_goal, target_rot, target_trans, scene, init,
+                   opt_steps: int = OPT_STEPS):
     """One optimizer restart: optimize, dense-verify, retime, final-verify.
     Returns (traj [SEQUENCE_LENGTH, 7], valid, severity score)."""
-    opt = optimize_trajectory(q_start, q_goal, scene, init=init)
+    opt = optimize_trajectory(q_start, q_goal, scene, init=init,
+                              steps=opt_steps)
     t = jnp.linspace(0.0, OPT_PATH_LEN - 1.0, DENSE_STEPS)
     lo = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, OPT_PATH_LEN - 2)
     frac = (t - lo)[:, None]
@@ -393,7 +395,7 @@ def _try_optimized(q_start, q_goal, target_rot, target_trans, scene, init):
     return traj, ok & final.valid, _severity(final)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("opt_steps", "n_vias"))
 def plan_pair_optimized(
     q_start: jnp.ndarray,
     q_goal: jnp.ndarray,
@@ -401,6 +403,8 @@ def plan_pair_optimized(
     target_trans: jnp.ndarray,
     scene,
     key: jax.Array | None = None,
+    opt_steps: int = OPT_STEPS,
+    n_vias: int = VIA_KEEP,
 ) -> PlanResult:
     """Full planning attempt: smooth family first, then MULTI-RESTART
     SDF-cost optimization (straight-line seed plus two via-configuration
@@ -429,7 +433,8 @@ def plan_pair_optimized(
             jax.random.PRNGKey(0x5EED),
             jnp.sum(q_start * 1e4 + q_goal * 1e3).astype(jnp.int32),
         )
-    sampled_vias = sample_via_configs(key, q_start, q_goal, scene)
+    sampled_vias = sample_via_configs(key, q_start, q_goal, scene,
+                                      n_keep=n_vias)
     seeds = [
         min_jerk_interp(q_start, q_goal, OPT_PATH_LEN),
         _via_init(q_start, neutral, q_goal),
@@ -447,7 +452,8 @@ def plan_pair_optimized(
     best_which = family.which
     for i, seed in enumerate(seeds):
         traj_i, ok_i, score_i = _try_optimized(
-            q_start, q_goal, target_rot, target_trans, scene, seed
+            q_start, q_goal, target_rot, target_trans, scene, seed,
+            opt_steps=opt_steps,
         )
         take = ok_i & ~valid_opt
         traj_opt = jnp.where(take, traj_i, traj_opt)
