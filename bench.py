@@ -111,6 +111,14 @@ def main() -> None:
                              "rollout into DIR")
     args = parser.parse_args()
 
+    if args.gather16 and (args.sa_impl == "v8" or args.fast_grouping):
+        print(
+            "# WARNING: --gather16 only applies to --sa-impl v3/v5 with "
+            "exact grouping; it is IGNORED by the v8 and fast-grouping "
+            "kernels (advisor r4)",
+            file=sys.stderr, flush=True,
+        )
+
     from mpinets_tpu.model.fused import make_fused_apply
     from mpinets_tpu.model.policy import MotionPolicyNetwork
 
@@ -149,6 +157,15 @@ def main() -> None:
                 "value": round(best, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(best / BASELINE_PER_CHIP, 3),
+                # measurement config (advisor r4: a reported number must be
+                # distinguishable from an exact-path measurement)
+                "config": {
+                    "sa_impl": args.sa_impl,
+                    "fast_grouping": args.fast_grouping,
+                    "fps_impl": args.fps_impl,
+                    "batch": max(batches),
+                    "fused": not args.no_fused,
+                },
             }
         )
     )

@@ -209,11 +209,20 @@ class TabletopEnvironment(Environment):
         self._setup_tables(rng)
         self._place_objects(rng, int(rng.integers(*NUM_OBJECTS_RANGE)))
         self._invalidate_scene()
-        candidates = self.gen_candidates(rng, 2)
-        if len(candidates) < 2:
-            return False
-        self.demo_candidates = candidates[:2]
-        return True
+        # r5 scene-yield fix (VERDICT r4 #3: 43/100 usable scenes): one
+        # 64-pose IK attempt often misses 2 free candidates because the task
+        # table extends well past the arm's ~0.85 m reach, so most uniform
+        # surface samples are unreachable. The reference retries up to 100
+        # pose samples PER candidate (tabletop_environment.py:369); retrying
+        # the batched attempt a few times recovers marginal scenes at the
+        # cost of extra IK batches only.
+        candidates: List = []
+        for _ in range(5):
+            candidates += self.gen_candidates(rng, 2 - len(candidates))
+            if len(candidates) >= 2:
+                self.demo_candidates = candidates[:2]
+                return True
+        return False
 
 
 def _yaw_quat(yaw: float) -> list:

@@ -53,10 +53,14 @@ ENVS = {
 
 
 def _candidate_pairs(cands_a, cands_b):
-    """All ordered cross pairs (both directions, forward_backward style)."""
+    """All directed pairs, each direction exactly once (forward_backward
+    style, ``gen_data.py:433-528``). r5 fix: the r2-r4 version appended
+    (a, b) AND (b, a) from *every* ordered iteration, planning each directed
+    pair twice — identical deterministic plans, so half the batch was
+    wasted compute and duplicated rows in the dataset."""
     pairs = []
-    for a in cands_a:
-        for b in cands_b:
+    for i, a in enumerate(cands_a):
+        for b in cands_b[i + 1:]:
             if a is b:
                 continue
             pairs.append((a, b))
@@ -198,8 +202,15 @@ def gen(
             # padded scene shape compiles fresh executables)
             jax.clear_caches()
         env = ENVS[scene_type]()
-        if not env.gen(rng):
+        ok = env.gen(rng)
+        # Funnel accounting BEFORE the failure continue (advisor r4): scenes
+        # whose generation failed already ran the pose->IK candidate
+        # machinery, and dropping them biased the scene-yield diagnostic.
+        for k, v in env.funnel.items():
+            total[f"funnel_{k}"] = total.get(f"funnel_{k}", 0) + v
+        if not ok:
             continue
+        funnel_pre = dict(env.funnel)
         trajs, scene_arrays, stats = plan_scene(
             env, rng, candidates_per_scene, include_neutral
         )
@@ -207,7 +218,9 @@ def gen(
         total["pairs"] += stats["pairs"]
         total["valid"] += stats["valid"]
         for k, v in env.funnel.items():
-            total[f"funnel_{k}"] = total.get(f"funnel_{k}", 0) + v
+            total[f"funnel_{k}"] = (
+                total.get(f"funnel_{k}", 0) + v - funnel_pre.get(k, 0)
+            )
         for k, v in stats.items():
             if k not in ("pairs", "valid"):
                 total[k] = total.get(k, 0) + v

@@ -48,7 +48,8 @@ from mpinets_tpu.data.process import downsize_and_split, merge_files
 
 DATA.mkdir(parents=True, exist_ok=True)
 merged = ROOT / "merged.hdf5"
-n = merge_files([GEN / f / "all_data.hdf5" for f in have], merged)
+n = merge_files([GEN / f / "all_data.hdf5" for f in have], merged,
+                overwrite=True)
 print(f"merged {n} trajectories from {len(have)} families", flush=True)
 
 n_val = max(16, n // 20)
