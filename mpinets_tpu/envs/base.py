@@ -117,12 +117,23 @@ class Environment(ABC):
     def cylinders(self) -> List[Cylinder]:
         return [o for o in self.obstacles if isinstance(o, Cylinder)]
 
+    #: Optional fixed (max_cuboids, max_cylinders) padding for this family.
+    #: When set, EVERY scene of the family shares one padded shape, so a
+    #: whole generation run reuses a single jit executable per program —
+    #: essential on TPU, where each distinct scene shape recompiles the
+    #: vmapped planner (~minutes). None keeps the per-scene multiple-of-8
+    #: bucketing (fine on XLA:CPU).
+    SCENE_PAD: Optional[tuple] = None
+
     def scene_set(self) -> SceneSet:
         """The padded device SceneSet for this scene (cached)."""
         if self._scene_cache is None:
+            pad = self.SCENE_PAD or (None, None)
             self._scene_cache = pack_scenes(
                 [[types.cuboid_tuple(c) for c in self.cuboids]],
                 [[types.cylinder_tuple(c) for c in self.cylinders]],
+                max_cuboids=pad[0],
+                max_cylinders=pad[1],
             )
         return self._scene_cache
 

@@ -73,8 +73,14 @@ def plan_scene(
     rng: np.random.Generator,
     candidates_per_scene: int,
     include_neutral: bool,
+    pair_bucket: int | None = None,
 ):
     """Plan all candidate pairs of one generated scene in one device batch.
+
+    ``pair_bucket`` pads the pair batch to a FIXED width (repeating the
+    first pair; padded results are masked out) so that every scene shares
+    one jit executable — on TPU a fresh vmap width would recompile the full
+    optimizer program (~minutes) per distinct candidate count.
 
     Returns (trajectories [V, 50, 7], scene arrays dict, stats dict).
     """
@@ -87,6 +93,10 @@ def plan_scene(
     pairs = _candidate_pairs(cands, cands)
     if not pairs:
         return np.zeros((0, expert.SEQUENCE_LENGTH, 7)), {}, {"pairs": 0, "valid": 0}
+    n_real = len(pairs)
+    if pair_bucket is not None:
+        n_real = min(n_real, pair_bucket)
+        pairs = pairs[:pair_bucket] + [pairs[0]] * (pair_bucket - n_real)
 
     q_starts = np.stack([a.config for a, _ in pairs]).astype(np.float32)
     q_goals = np.stack([b.config for _, b in pairs]).astype(np.float32)
@@ -101,21 +111,23 @@ def plan_scene(
         jnp.asarray(q_starts), jnp.asarray(q_goals),
         jnp.asarray(rots), jnp.asarray(trans), scene,
     )
-    valid = np.asarray(res.valid)
+    valid = np.array(res.valid)
+    valid[n_real:] = False
     trajs = np.asarray(res.trajectory)[valid]
     # Per-pair failure tallies on the final trajectories (the reference's
     # error-code convention, gen_data.py:91-103,419-430).
     ver = jax.vmap(
         expert.verify_trajectory, in_axes=(0, 0, 0, None)
     )(res.trajectory, jnp.asarray(rots), jnp.asarray(trans), scene)
+    ver = jax.tree_util.tree_map(lambda x: np.asarray(x)[:n_real], ver)
     stats = {
-        "pairs": len(pairs),
+        "pairs": n_real,
         "valid": int(valid.sum()),
-        "miss": int(np.asarray(ver.miss > expert.MISS_TOLERANCE).sum()),
-        "jerk": int(np.asarray(ver.max_jerk > expert.MAX_JERK).sum()),
-        "self_collision": int(np.asarray(ver.has_self_collision).sum()),
-        "env_collision": int(np.asarray(ver.has_env_collision).sum()),
-        "limit_violation": int(np.asarray(~ver.within_limits).sum()),
+        "miss": int((ver.miss > expert.MISS_TOLERANCE).sum()),
+        "jerk": int((ver.max_jerk > expert.MAX_JERK).sum()),
+        "self_collision": int(ver.has_self_collision.sum()),
+        "env_collision": int(ver.has_env_collision.sum()),
+        "limit_violation": int((~ver.within_limits).sum()),
     }
     return trajs, _scene_arrays(env, len(trajs)), stats
 
@@ -152,8 +164,15 @@ def hindsight_problems(trajs: np.ndarray, env: Environment) -> List[T.PlanningPr
     each trajectory's final configuration (``gen_data.py:832-836``)."""
     if len(trajs) == 0:
         return []
-    rot, trans = jax.jit(kinematics.eff_pose)(jnp.asarray(trajs[:, -1]))
-    rot, trans = np.asarray(rot, np.float64), np.asarray(trans, np.float64)
+    # pad to a multiple of 8 so long generation runs reuse a few jit
+    # executables instead of compiling per distinct valid-count
+    m = -(-len(trajs) // 8) * 8
+    q_final = np.concatenate(
+        [trajs[:, -1]] + [trajs[:1, -1]] * (m - len(trajs)), axis=0
+    )
+    rot, trans = jax.jit(kinematics.eff_pose)(jnp.asarray(q_final))
+    rot = np.asarray(rot, np.float64)[: len(trajs)]
+    trans = np.asarray(trans, np.float64)[: len(trajs)]
     problems = []
     for i in range(len(trajs)):
         quat = T.matrix_to_quat_np(rot[i])
@@ -179,16 +198,29 @@ def gen(
     seed: int = 0,
     inference_pkl=None,
     time_budget_s: float | None = None,
+    pair_bucket: int | None = None,
+    clear_every: int = 10,
+    eval_every: int = 0,
+    scene_pad: tuple | None = None,
 ) -> dict:
     """Generate ``num_scenes`` scenes worth of verified expert data into
     ``output_dir/all_data.hdf5``; optionally dump hindsight inference
-    problems. Returns overall stats."""
+    problems. Returns overall stats.
+
+    ``pair_bucket`` fixes the planner vmap width (see :func:`plan_scene`) —
+    required for TPU-resident runs. ``clear_every`` bounds XLA:CPU JIT code
+    accumulation (0 = never clear; TPU runs with fixed buckets don't need
+    it). ``eval_every`` > 0 makes every N-th successful scene EVAL-ONLY:
+    its trajectories feed the hindsight problem pkl instead of the training
+    dataset, giving a scene-level held-out split (the reference evaluates on
+    problems from fresh scenes, gen_data.py:832-845)."""
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
     scene_files = []
     problems: List[T.PlanningProblem] = []
-    total = {"scenes": 0, "pairs": 0, "valid": 0}
+    total = {"scenes": 0, "pairs": 0, "valid": 0, "eval_scenes": 0,
+             "eval_problems": 0}
     import time as _time
     t_start = _time.time()
 
@@ -197,11 +229,13 @@ def gen(
             print(f"wall-clock budget reached after {total['scenes']} scenes",
                   flush=True)
             break
-        if total["scenes"] and total["scenes"] % 10 == 0:
+        if clear_every and total["scenes"] and total["scenes"] % clear_every == 0:
             # bound XLA:CPU JIT code accumulation over long runs (each new
             # padded scene shape compiles fresh executables)
             jax.clear_caches()
         env = ENVS[scene_type]()
+        if scene_pad is not None:
+            env.SCENE_PAD = scene_pad
         ok = env.gen(rng)
         # Funnel accounting BEFORE the failure continue (advisor r4): scenes
         # whose generation failed already ran the pose->IK candidate
@@ -212,7 +246,8 @@ def gen(
             continue
         funnel_pre = dict(env.funnel)
         trajs, scene_arrays, stats = plan_scene(
-            env, rng, candidates_per_scene, include_neutral
+            env, rng, candidates_per_scene, include_neutral,
+            pair_bucket=pair_bucket,
         )
         total["scenes"] += 1
         total["pairs"] += stats["pairs"]
@@ -233,6 +268,14 @@ def gen(
         )
         if len(trajs) == 0:
             continue
+        is_eval = bool(eval_every) and (total["scenes"] % eval_every == 0)
+        if is_eval:
+            if inference_pkl is not None:
+                new = hindsight_problems(trajs, env)
+                problems.extend(new)
+                total["eval_scenes"] += 1
+                total["eval_problems"] += len(new)
+            continue
         arrays = {
             "global_solutions": trajs,
             "hybrid_solutions": trajs,
@@ -241,7 +284,7 @@ def gen(
         path = out / f"scene_{s:05d}.hdf5"
         writer.write_dataset(path, arrays)
         scene_files.append(path)
-        if inference_pkl is not None:
+        if inference_pkl is not None and not eval_every:
             problems.extend(hindsight_problems(trajs, env))
 
     if scene_files:
