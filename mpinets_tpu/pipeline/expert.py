@@ -373,6 +373,143 @@ def sample_via_configs(
     return vias[top]                                        # [n_keep, 7]
 
 
+# ---------------------------------------------------------------------------
+# Lazy-PRM global stage (r5)
+# ---------------------------------------------------------------------------
+# The r4 dresser A/B proved local optimizer restarts are SATURATED: blocked
+# drawer-to-drawer transfers need graph search, not more seeds. This is the
+# reference's sampling-based global planner (AIT*, gen_data.py:106-153)
+# re-designed as fixed-shape batched linear algebra: sample a node set,
+# validate nodes and k-NN edges with the 57-sphere/SDF model, run min-plus
+# (Bellman-Ford) iterations over the dense cost matrix, and backtrack a
+# bounded-hop path — everything vmappable over thousands of pairs in
+# lockstep, no data-dependent control flow.
+
+#: PRM node count (excluding start/goal), edge fan-out, interior edge
+#: samples, max path hops, edge length cap (rad, 7-D L2).
+PRM_NODES = 126
+PRM_KNN = 14
+PRM_EDGE_SAMPLES = 6
+PRM_MAX_HOPS = 12
+PRM_EDGE_CAP = 2.8
+PRM_MARGIN = 0.01
+
+
+def prm_waypoints(
+    key: jax.Array,
+    q_start: jnp.ndarray,
+    q_goal: jnp.ndarray,
+    scene,
+    n_nodes: int = PRM_NODES,
+    knn: int = PRM_KNN,
+    n_edge_samples: int = PRM_EDGE_SAMPLES,
+    max_hops: int = PRM_MAX_HOPS,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Shortest collision-free waypoint chain from start to goal over a
+    sampled roadmap. Returns (waypoints [max_hops + 2, 7], found bool[]).
+
+    Waypoints are padded by repeating the goal; when no path exists,
+    ``found`` is False and the waypoints are the straight a->b chain (the
+    caller's optimizer seed degrades to the existing behavior).
+    """
+    lim = jnp.asarray(franka.REAL_JOINT_LIMITS, q_start.dtype)
+    span = lim[:, 1] - lim[:, 0]
+    ku, kn, km = jax.random.split(key, 3)
+    n_u = n_nodes // 2
+    nodes_u = lim[:, 0] + jax.random.uniform(
+        ku, (n_u, 7), dtype=q_start.dtype
+    ) * span
+    mid = 0.5 * (q_start + q_goal)
+    anchors = jnp.stack([q_start, q_goal, mid])
+    pick = jax.random.randint(km, (n_nodes - n_u,), 0, 3)
+    nodes_n = anchors[pick] + jax.random.normal(
+        kn, (n_nodes - n_u, 7), dtype=q_start.dtype
+    ) * (0.22 * span)
+    nodes = jnp.concatenate(
+        [q_start[None], q_goal[None],
+         jnp.clip(jnp.concatenate([nodes_u, nodes_n]), lim[:, 0], lim[:, 1])]
+    )                                                        # [V, 7]
+    v = nodes.shape[0]
+
+    from mpinets_tpu.kernels import ik as ik_mod
+
+    node_free = ik_mod.franka_free_space(nodes, scene, margin=PRM_MARGIN)
+    # Start/goal are given as feasible (they passed candidate IK); keep them
+    # usable even if the margin'd check is borderline at the contact pose.
+    node_free = node_free.at[0].set(True).at[1].set(True)
+
+    dist = jnp.linalg.norm(
+        nodes[:, None, :] - nodes[None, :, :], axis=-1
+    )                                                        # [V, V]
+    # k-NN candidate edges per node (excluding self via +inf diagonal).
+    dist_ = dist + jnp.where(jnp.eye(v, dtype=bool), jnp.inf, 0.0)
+    _, nbr = jax.lax.top_k(-dist_, knn)                      # [V, knn]
+
+    # Interior samples of every candidate edge, one flat free-space batch.
+    t = jnp.linspace(0.0, 1.0, n_edge_samples + 2)[1:-1]     # [S]
+    a = nodes[:, None, None, :]                              # [V, 1, 1, 7]
+    b = nodes[nbr][:, :, None, :]                            # [V, knn, 1, 7]
+    pts = a + t[None, None, :, None] * (b - a)               # [V, knn, S, 7]
+    free = ik_mod.franka_free_space(
+        pts.reshape(-1, 7), scene, margin=PRM_MARGIN
+    ).reshape(v, knn, n_edge_samples)
+    edge_len = jnp.take_along_axis(dist_, nbr, axis=1)       # [V, knn]
+    edge_ok = (
+        jnp.all(free, axis=-1)
+        & node_free[:, None]
+        & node_free[nbr]
+        & (edge_len <= PRM_EDGE_CAP)
+    )
+
+    # Dense symmetric cost matrix from the k-NN edges.
+    w = jnp.full((v, v), jnp.inf, q_start.dtype)
+    rows = jnp.broadcast_to(jnp.arange(v)[:, None], (v, knn))
+    w = w.at[rows, nbr].min(jnp.where(edge_ok, edge_len, jnp.inf))
+    w = jnp.minimum(w, w.T)
+
+    # Min-plus relaxation: D[v] = shortest distance from start.
+    d0 = jnp.full((v,), jnp.inf, q_start.dtype).at[0].set(0.0)
+
+    def relax(d, _):
+        return jnp.minimum(d, jnp.min(d[:, None] + w, axis=0)), None
+
+    d, _ = jax.lax.scan(relax, d0, None, length=max_hops)
+    found = jnp.isfinite(d[1])
+
+    # Greedy backtrack from the goal: prev(v) = argmin_u d[u] + w[u, v].
+    def back(carry, _):
+        cur = carry
+        prev = jnp.argmin(d + w[:, cur])
+        # stop moving once at the start
+        nxt = jnp.where(cur == 0, 0, prev)
+        return nxt, cur
+
+    _, rev = jax.lax.scan(back, jnp.asarray(1), None, length=max_hops + 2)
+    # rev = [goal, ..., start, start, ...]; reverse into start->goal order.
+    path_idx = rev[::-1]                                     # [H+2]
+    # left-padded with start repeats; fine for a polyline seed.
+    waypoints = nodes[path_idx]
+    straight = jnp.concatenate(
+        [q_start[None],
+         min_jerk_interp(q_start, q_goal, max_hops), q_goal[None]]
+    )
+    waypoints = jnp.where(found, waypoints, straight)
+    return waypoints, found
+
+
+def prm_seed(
+    key: jax.Array,
+    q_start: jnp.ndarray,
+    q_goal: jnp.ndarray,
+    scene,
+) -> jnp.ndarray:
+    """Optimizer seed from the PRM path: the waypoint polyline resampled to
+    ``OPT_PATH_LEN`` at constant speed (duplicate padding nodes collapse —
+    zero-length segments get zero arc-length weight)."""
+    waypoints, _ = prm_waypoints(key, q_start, q_goal, scene)
+    return constant_velocity_retime(waypoints, OPT_PATH_LEN)
+
+
 def _try_optimized(q_start, q_goal, target_rot, target_trans, scene, init,
                    opt_steps: int = OPT_STEPS):
     """One optimizer restart: optimize, dense-verify, retime, final-verify.
@@ -395,7 +532,9 @@ def _try_optimized(q_start, q_goal, target_rot, target_trans, scene, init,
     return traj, ok & final.valid, _severity(final)
 
 
-@functools.partial(jax.jit, static_argnames=("opt_steps", "n_vias"))
+@functools.partial(
+    jax.jit, static_argnames=("opt_steps", "n_vias", "n_prm")
+)
 def plan_pair_optimized(
     q_start: jnp.ndarray,
     q_goal: jnp.ndarray,
@@ -405,6 +544,7 @@ def plan_pair_optimized(
     key: jax.Array | None = None,
     opt_steps: int = OPT_STEPS,
     n_vias: int = VIA_KEEP,
+    n_prm: int = 0,
 ) -> PlanResult:
     """Full planning attempt: smooth family first, then MULTI-RESTART
     SDF-cost optimization (straight-line seed plus two via-configuration
@@ -442,6 +582,11 @@ def plan_pair_optimized(
     ] + [
         _via_init(q_start, sampled_vias[i], q_goal)
         for i in range(sampled_vias.shape[0])
+    ] + [
+        # r5 global stage: lazy-PRM shortest paths as optimizer seeds
+        # (independent roadmaps per seed).
+        prm_seed(jax.random.fold_in(key, 1000 + i), q_start, q_goal, scene)
+        for i in range(n_prm)
     ]
     valid_opt = jnp.asarray(False)
     which_opt = jnp.asarray(99, jnp.int32)

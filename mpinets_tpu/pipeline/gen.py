@@ -74,6 +74,7 @@ def plan_scene(
     candidates_per_scene: int,
     include_neutral: bool,
     pair_bucket: int | None = None,
+    plan_kwargs: dict | None = None,
 ):
     """Plan all candidate pairs of one generated scene in one device batch.
 
@@ -104,8 +105,11 @@ def plan_scene(
     trans = np.stack([b.pose.position for _, b in pairs]).astype(np.float32)
     scene = jax.tree_util.tree_map(lambda x: x[0], env.scene_set())
 
+    import functools
+
     plan = jax.vmap(
-        expert.plan_pair_optimized, in_axes=(0, 0, 0, 0, None)
+        functools.partial(expert.plan_pair_optimized, **(plan_kwargs or {})),
+        in_axes=(0, 0, 0, 0, None),
     )
     res = plan(
         jnp.asarray(q_starts), jnp.asarray(q_goals),
@@ -202,6 +206,7 @@ def gen(
     clear_every: int = 10,
     eval_every: int = 0,
     scene_pad: tuple | None = None,
+    plan_kwargs: dict | None = None,
 ) -> dict:
     """Generate ``num_scenes`` scenes worth of verified expert data into
     ``output_dir/all_data.hdf5``; optionally dump hindsight inference
@@ -247,7 +252,7 @@ def gen(
         funnel_pre = dict(env.funnel)
         trajs, scene_arrays, stats = plan_scene(
             env, rng, candidates_per_scene, include_neutral,
-            pair_bucket=pair_bucket,
+            pair_bucket=pair_bucket, plan_kwargs=plan_kwargs,
         )
         total["scenes"] += 1
         total["pairs"] += stats["pairs"]
