@@ -27,6 +27,9 @@ class DataConfig:
     random_scale: float = 0.015
     #: Use the on-device synthetic generator instead of HDF5 files.
     synthetic: bool = False
+    #: Cache the split's arrays in host RAM at open (r5: removes the h5py
+    #: random-gather bottleneck; ~130 MB per 40k trajectories).
+    in_memory: bool = False
 
 
 @dataclasses.dataclass
@@ -43,6 +46,12 @@ class OptimConfig:
     max_epochs: int = 500  # run_training.py:109
     #: bf16 compute (the reference uses fp16 AMP, run_training.py:112).
     bf16: bool = True
+    #: r5 stabilization (VERDICT r4 #1b): warmup + cosine-decay schedule
+    #: (0 decay_steps = the reference's constant lr) and parameter EMA for
+    #: validation/checkpoints (0.0 = off).
+    warmup_steps: int = 0
+    decay_steps: int = 0
+    ema_decay: float = 0.0
 
 
 @dataclasses.dataclass
@@ -62,10 +71,14 @@ class RolloutConfig:
     control_dt: float = 0.08  # 12 Hz, run_inference.py:297
     #: actor-learner mode: every ``actor_interval`` learner steps, roll the
     #: current policy out on-device and feed a DAgger-relabeled batch back
-    #: into the learner (0 = offline BC only). Synthetic-expert mode only.
+    #: into the learner (0 = offline BC only). In synthetic mode the
+    #: relabeling expert is the min-jerk pseudo-expert; in hdf5 mode it is
+    #: the real SDF-optimizer expert over the dataset's scenes (r5).
     actor_interval: int = 0
     #: closed-loop steps per actor rollout
     actor_rollout_steps: int = 20
+    #: SDF-optimizer steps for the real-scene DAgger relabeling expert
+    dagger_opt_steps: int = 60
 
 
 @dataclasses.dataclass

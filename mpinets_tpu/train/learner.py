@@ -37,14 +37,35 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    #: exponential moving average of params for validation/checkpointing
+    #: (r5 stabilization; None = disabled)
+    ema_params: Any = None
 
 
 def make_optimizer(
-    learning_rate: float = LEARNING_RATE, grad_clip: float = GRAD_CLIP
+    learning_rate: float = LEARNING_RATE,
+    grad_clip: float = GRAD_CLIP,
+    warmup_steps: int = 0,
+    decay_steps: int = 0,
+    end_value_scale: float = 0.1,
 ) -> optax.GradientTransformation:
+    """Adam + global-norm clip. With ``decay_steps`` > 0, the constant
+    reference lr becomes a linear-warmup + cosine-decay schedule (r5
+    stabilization, VERDICT r4 #1b — the reference's constant 1e-4 over 500
+    epochs destabilized our small-data runs)."""
+    if decay_steps:
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=learning_rate * 0.05 if warmup_steps else learning_rate,
+            peak_value=learning_rate,
+            warmup_steps=warmup_steps,
+            decay_steps=decay_steps,
+            end_value=end_value_scale * learning_rate,
+        )
+    else:
+        lr = learning_rate
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
-        optax.adam(learning_rate),
+        optax.adam(lr),
     )
 
 
@@ -53,10 +74,22 @@ def init_state(
     rng: jax.Array,
     example_batch: Dict[str, jnp.ndarray],
     optimizer: optax.GradientTransformation | None = None,
+    ema: bool = False,
 ) -> TrainState:
     optimizer = optimizer or make_optimizer()
     params = model.init(rng, example_batch["xyz"], example_batch["configuration"])
-    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+    return TrainState(
+        params, optimizer.init(params), jnp.zeros((), jnp.int32),
+        jax.tree_util.tree_map(lambda x: x, params) if ema else None,
+    )
+
+
+def _update_ema(ema_params, params, ema_decay: float):
+    if not ema_decay or ema_params is None:
+        return ema_params
+    return jax.tree_util.tree_map(
+        lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema_params, params
+    )
 
 
 def scene_from_batch(batch: Dict[str, jnp.ndarray]) -> SceneSet:
@@ -106,6 +139,7 @@ def make_train_step(
     point_match_weight: float = POINT_MATCH_WEIGHT,
     collision_weight: float = COLLISION_WEIGHT,
     apply_fn=None,
+    ema_decay: float = 0.0,
 ):
     """Single-device (or already-sharded-by-jit) train step."""
     optimizer = optimizer or make_optimizer()
@@ -124,7 +158,8 @@ def make_train_step(
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), metrics
+        ema = _update_ema(state.ema_params, params, ema_decay)
+        return TrainState(params, opt_state, state.step + 1, ema), metrics
 
     return train_step
 
@@ -138,6 +173,7 @@ def make_data_parallel_step(
     collision_weight: float = COLLISION_WEIGHT,
     prepare_fn=None,
     apply_fn=None,
+    ema_decay: float = 0.0,
 ):
     """DP train step over a device mesh: batch sharded on ``data_axis``,
     params replicated, gradient psum-mean over ICI (the NCCL all-reduce
@@ -166,7 +202,8 @@ def make_data_parallel_step(
         metrics = jax.lax.pmean(metrics, data_axis)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), metrics
+        ema = _update_ema(state.ema_params, params, ema_decay)
+        return TrainState(params, opt_state, state.step + 1, ema), metrics
 
     batch_spec = P(data_axis)
     replicated = P()

@@ -101,7 +101,9 @@ class Trainer:
             sa_radii=tuple(self.cfg.model.sa_radii),
         )
         self.optimizer = learner.make_optimizer(
-            self.cfg.optim.learning_rate, self.cfg.optim.gradient_clip_val
+            self.cfg.optim.learning_rate, self.cfg.optim.gradient_clip_val,
+            warmup_steps=self.cfg.optim.warmup_steps,
+            decay_steps=self.cfg.optim.decay_steps,
         )
         self.experiment_id = f"{self.cfg.experiment_name}-{uuid.uuid4().hex[:8]}"
         exp_dir = Path(self.cfg.save_checkpoint_dir).resolve() / self.experiment_id
@@ -149,7 +151,9 @@ class Trainer:
             self.cfg.data.data_dir,
             self.cfg.data.trajectory_key,
             hdf5_data.DatasetType.TRAIN,
+            in_memory=self.cfg.data.in_memory,
         )
+        self._train_dataset = dataset
         loader = hdf5_data.InstanceLoader(
             dataset, self.host_batch,
             seed=self.cfg.seed + 7919 * jax.process_index(),
@@ -201,7 +205,10 @@ class Trainer:
             init_batch = {k: jnp.asarray(v) for k, v in example_prepared.items()}
         else:
             init_batch = example
-        state = learner.init_state(self.model, rng, init_batch, self.optimizer)
+        state = learner.init_state(
+            self.model, rng, init_batch, self.optimizer,
+            ema=self.cfg.optim.ema_decay > 0,
+        )
 
         start_step = 0
         if self.cfg.resume_from:
@@ -237,6 +244,7 @@ class Trainer:
             collision_weight=cfg.loss.collision_loss_weight,
             prepare_fn=prepare_fn,
             apply_fn=train_apply_fn,
+            ema_decay=cfg.optim.ema_decay,
         )
         validate_fn = validate.make_validation_fn(
             self.model, cfg.rollout.val_rollout_length, self.sizes
@@ -259,9 +267,13 @@ class Trainer:
         )
 
         # Actor-learner mode (BASELINE configs 4-5): rollout workers feed a
-        # DAgger-relabeled batch into the same DP learner step.
+        # DAgger-relabeled batch into the same DP learner step. Synthetic
+        # mode relabels with the min-jerk pseudo-expert; hdf5 mode (r5) rolls
+        # out on REAL dataset scenes and relabels with the SDF-optimizer
+        # expert (VERDICT r4 #1c/#8).
         actor_interval = cfg.rollout.actor_interval
         collect_fn = None
+        real_actor = False
         if actor_interval and cfg.data.synthetic:
             from mpinets_tpu.train.actor import make_dagger_collector
 
@@ -272,7 +284,32 @@ class Trainer:
                 self.model, self.mesh, self.optimizer,
                 point_match_weight=cfg.loss.point_match_loss_weight,
                 collision_weight=cfg.loss.collision_loss_weight,
+                ema_decay=cfg.optim.ema_decay,
             )
+        elif actor_interval and not cfg.data.synthetic:
+            from mpinets_tpu.train.actor import make_real_dagger_collector
+
+            real_actor = True
+            rollout_apply = None
+            if fused:
+                from mpinets_tpu.model.fused import make_fused_apply
+
+                rollout_apply = make_fused_apply(
+                    self.model.compute_dtype, sa_npoints=self.model.sa_npoints
+                )
+            collect_fn = make_real_dagger_collector(
+                self.model, cfg.rollout.actor_rollout_steps, self.sizes,
+                apply_fn=rollout_apply,
+                opt_steps=cfg.rollout.dagger_opt_steps,
+            )
+            actor_step = learner.make_data_parallel_step(
+                self.model, self.mesh, self.optimizer,
+                point_match_weight=cfg.loss.point_match_loss_weight,
+                collision_weight=cfg.loss.collision_loss_weight,
+                apply_fn=train_apply_fn,
+                ema_decay=cfg.optim.ema_decay,
+            )
+            actor_rng = np.random.default_rng(cfg.seed + 0xDA66)
 
         last_ckpt_time = time.time()
         best_monitor = float("inf")
@@ -290,17 +327,33 @@ class Trainer:
                 step += 1
 
                 if collect_fn is not None and step % actor_interval == 0:
-                    dagger = collect_fn(
-                        state.params,
-                        jax.random.fold_in(jax.random.fold_in(rng, 0xDA66), step),
-                        self.host_batch,
+                    a_key = jax.random.fold_in(
+                        jax.random.fold_in(rng, 0xDA66), step
                     )
+                    extra = {}
+                    if real_actor:
+                        idx = actor_rng.integers(
+                            0, self._train_dataset.num_trajectories,
+                            size=self.host_batch,
+                        )
+                        raw = self._train_dataset.read_trajectory_batch(idx)
+                        dagger, info = collect_fn(
+                            state.params, a_key,
+                            {k: jnp.asarray(v) for k, v in raw.items()},
+                        )
+                        extra = {
+                            k: float(v)
+                            for k, v in jax.device_get(info).items()
+                        }
+                    else:
+                        dagger = collect_fn(state.params, a_key, self.host_batch)
                     dagger = self._to_global(jax.device_get(dagger))
                     state, a_metrics = actor_step(state, dagger)
                     self.logger.log(
                         step,
-                        {f"actor_{k}": float(v)
-                         for k, v in jax.device_get(a_metrics).items()},
+                        {**{f"actor_{k}": float(v)
+                            for k, v in jax.device_get(a_metrics).items()},
+                         **extra},
                     )
 
                 if step % 50 == 0 or step == 1:
@@ -317,16 +370,25 @@ class Trainer:
 
                 if step % val_interval == 0:
                     val_key = jax.random.fold_in(jax.random.fold_in(rng, 0x5A11), step)
+                    # validate the EMA parameters when enabled (they are what
+                    # best/last checkpoints should be judged by)
+                    eval_params = (
+                        state.ema_params if state.ema_params is not None
+                        else state.params
+                    )
                     val = jax.device_get(
-                        validate_fn(state.params, val_problems, val_key)
+                        validate_fn(eval_params, val_problems, val_key)
                     )
                     self.logger.log(
                         step, {k: float(v) for k, v in val.items()}, force_echo=True
                     )
                     # Monitored best checkpoint (Lightning monitor="val_loss"
-                    # analogue, run_training.py:91-104; our monitored scalar
-                    # is the closed-loop target error).
-                    monitor = float(val["avg_target_error"])
+                    # analogue, run_training.py:91-104). Monitored scalar:
+                    # closed-loop success dominates (negated), target error
+                    # breaks ties while success is zero.
+                    monitor = float(val["avg_target_error"]) - 10.0 * float(
+                        val.get("val_success_free", 0.0)
+                    )
                     if self.should_checkpoint and monitor < best_monitor:
                         best_monitor = monitor
                         ckpt.save_named_checkpoint(

@@ -62,8 +62,22 @@ def make_validation_fn(
     @jax.jit
     def validate(params, problem: Problem, key: jax.Array):
         result = rollout(params, problem, key)
-        _, eff_pos = kinematics.eff_pose(result.final_q)
+        eff_rot, eff_pos = kinematics.eff_pose(result.final_q)
         target_error = jnp.linalg.norm(eff_pos - problem.target_trans, axis=-1)
+
+        # orientation error vs target (and vs the pi-yaw-flipped target,
+        # the ambiguity quantified in scripts/pi_flip_study.py)
+        def angle_to(rot_ref):
+            rel = jnp.einsum("...ji,...jk->...ik", rot_ref, eff_rot)
+            tr = rel[..., 0, 0] + rel[..., 1, 1] + rel[..., 2, 2]
+            return jnp.arccos(jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0))
+
+        flip = jnp.diag(jnp.asarray([-1.0, -1.0, 1.0], eff_rot.dtype))
+        orient_err = angle_to(problem.target_rot)
+        orient_err_flip = angle_to(
+            jnp.einsum("...ij,jk->...ik", problem.target_rot, flip)
+        )
+        deg15 = jnp.deg2rad(15.0)
 
         trajs = result.trajectories  # [B, T+1, 7]
         b, t, _ = trajs.shape
@@ -75,9 +89,23 @@ def make_validation_fn(
         ).reshape(b, t, -1)
         has_collision = jnp.any(sdf_vals <= radii, axis=(-1, -2))  # [B]
 
+        # online success rule (pos < 1 cm AND orient < 15 deg,
+        # run_inference.py:176-187); collision-free success additionally
+        # requires a clean rollout (metrics.py:514-519 physical check)
+        success = (target_error < 0.01) & (orient_err < deg15)
         return {
             "avg_target_error": jnp.mean(target_error),
             "avg_collision_rate": jnp.mean(has_collision.astype(jnp.float32)),
+            "avg_orient_error_deg": jnp.mean(jnp.rad2deg(orient_err)),
+            "pct_within_1cm": jnp.mean((target_error < 0.01).astype(jnp.float32)),
+            "pct_within_5cm": jnp.mean((target_error < 0.05).astype(jnp.float32)),
+            "pct_flip_orient": jnp.mean(
+                (orient_err_flip < deg15).astype(jnp.float32)
+            ),
+            "val_success": jnp.mean(success.astype(jnp.float32)),
+            "val_success_free": jnp.mean(
+                (success & ~has_collision).astype(jnp.float32)
+            ),
         }
 
     return validate
