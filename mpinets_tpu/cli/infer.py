@@ -44,50 +44,72 @@ SCENE_TYPES = ("tabletop", "cubby", "merged-cubby", "dresser")
 PROBLEM_TYPES = ("task-oriented", "neutral-start", "neutral-goal")
 
 
-def load_params(path: str, model: MotionPolicyNetwork):
-    p = Path(path)
-    if p.is_dir():
-        step_dir = ckpt_mod.latest_checkpoint(p) or p
-        try:
-            restored = ckpt_mod.restore_checkpoint(step_dir, None)
-        except FileNotFoundError:
-            # ocdbt-layout checkpoints (what our trainer writes) need the
-            # target tree; rebuild the full TrainState example the trainer
-            # saves (params + adam state + step).
-            from mpinets_tpu.train import learner
+def load_params(path: str, model: MotionPolicyNetwork, use_ema: bool = False):
+    """Load policy params from a Lightning ``.ckpt`` or an orbax dir.
 
-            example = model.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, 6272, 4)),
-                jnp.zeros((1, 7)),
-            )
-            state = learner.TrainState(
-                example, learner.make_optimizer().init(example),
-                jnp.zeros((), jnp.int32),
-            )
-            try:
-                restored = ckpt_mod.restore_checkpoint(step_dir, state)
-            except FileNotFoundError:
-                # named (best/last) dirs written by interrupted runs can
-                # lack orbax's _METADATA; fall back to the step_* sibling
-                # the `<name>.step` marker points at.
-                sd = Path(step_dir)
-                marker = sd.parent / f"{sd.name}.step"
-                if not marker.exists():
-                    raise
-                sib = sd.parent / f"step_{int(marker.read_text()):08d}"
-                restored = ckpt_mod.restore_checkpoint(sib, state)
-        if isinstance(restored, dict):
-            if "opt_state" in restored or "step" in restored:
+    ``use_ema`` prefers the checkpoint's EMA parameter tree when present
+    (r5 trainer states carry one; validation/best-selection are judged on
+    it, so eval should be too)."""
+    p = Path(path)
+    if not p.is_dir():
+        return ckpt_mod.load_torch_checkpoint(p)
+    step_dir = ckpt_mod.latest_checkpoint(p) or p
+
+    def _pick(tree):
+        if isinstance(tree, dict):
+            if use_ema and tree.get("ema_params") is not None:
+                return tree["ema_params"]
+            if "opt_state" in tree or "step" in tree:
                 # serialized TrainState dict: {step, params: {params: ...},
-                # opt_state}; the flax variables are the inner "params" tree
-                return restored["params"]
-            if "params" in restored:
-                return restored
-        # TrainState object layout: take .params
-        if hasattr(restored, "params"):
-            return restored.params
-        return restored
-    return ckpt_mod.load_torch_checkpoint(p)
+                # opt_state[, ema_params]}; the flax variables are the inner
+                # "params" tree
+                return tree["params"]
+            if "params" in tree:
+                return tree
+        if use_ema and getattr(tree, "ema_params", None) is not None:
+            return tree.ema_params
+        if hasattr(tree, "params"):
+            return tree.params
+        return tree
+
+    try:
+        return _pick(ckpt_mod.restore_checkpoint(step_dir, None))
+    except FileNotFoundError:
+        pass
+    # ocdbt-layout checkpoints (what our trainer writes) need the target
+    # tree; rebuild the TrainState example the trainer saves. r5 states
+    # carry an EMA tree; pre-r5 states do not — try both templates.
+    from mpinets_tpu.train import learner
+
+    example = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 6272, 4)), jnp.zeros((1, 7))
+    )
+    opt0 = learner.make_optimizer().init(example)
+    templates = [
+        learner.TrainState(example, opt0, jnp.zeros((), jnp.int32), example),
+        learner.TrainState(example, opt0, jnp.zeros((), jnp.int32)),
+    ]
+    last_err = None
+    for state in templates:
+        try:
+            return _pick(ckpt_mod.restore_checkpoint(step_dir, state))
+        except FileNotFoundError as e:
+            # named (best/last) dirs written by interrupted runs can lack
+            # orbax's _METADATA; fall back to the step_* sibling the
+            # `<name>.step` marker points at.
+            sd = Path(step_dir)
+            marker = sd.parent / f"{sd.name}.step"
+            if not marker.exists():
+                last_err = e
+                continue
+            sib = sd.parent / f"step_{int(marker.read_text()):08d}"
+            try:
+                return _pick(ckpt_mod.restore_checkpoint(sib, state))
+            except Exception as e2:  # try the next template
+                last_err = e2
+        except Exception as e:  # structure mismatch: try the next template
+            last_err = e
+    raise last_err
 
 
 def evaluate_problem_set(
@@ -236,6 +258,9 @@ def main(argv=None) -> None:
     parser.add_argument("--no-fused", action="store_true",
                         help="force the plain-XLA model.apply rollout path "
                              "(default: fused Pallas kernels on TPU)")
+    parser.add_argument("--use-ema", action="store_true",
+                        help="evaluate the checkpoint's EMA parameter tree "
+                             "when present (r5 trainer states)")
     parser.add_argument("--b1-timing", action="store_true",
                         help="report per-problem 'time' with the reference's "
                              "batch-1 wall-clock semantics (one extra "
@@ -250,7 +275,7 @@ def main(argv=None) -> None:
     model = MotionPolicyNetwork(
         compute_dtype=jnp.float32 if args.fp32 else jnp.bfloat16
     )
-    params = load_params(args.checkpoint, model)
+    params = load_params(args.checkpoint, model, use_ema=args.use_ema)
     problem_set = problems_mod.load_problems(args.problems)
     evaluator = evaluate_problem_set(
         params, problem_set, args.scene_type, args.problem_type,

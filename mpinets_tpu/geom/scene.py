@@ -235,6 +235,13 @@ def pack_scenes(
     yq[..., 0] = 1.0
 
     for i, cubs in enumerate(cuboids_per_scene):
+        assert len(cubs) <= m1, (
+            f"scene {i} has {len(cubs)} cuboids > max_cuboids={m1}"
+        )
+        assert len(cylinders_per_scene[i]) <= m2, (
+            f"scene {i} has {len(cylinders_per_scene[i])} cylinders > "
+            f"max_cylinders={m2}"
+        )
         for j, (center, dims, quat) in enumerate(cubs):
             cc[i, j] = center
             cd[i, j] = dims

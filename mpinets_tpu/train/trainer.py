@@ -75,6 +75,10 @@ class Trainer:
     #: through the saved neighbor indices, model/fused_train.py); CPU runs
     #: and reduced shapes fall back to the plain-XLA model.apply.
     fused: Optional[bool] = None
+    #: Wall-clock budget in seconds (None = unbounded): the run checkpoints
+    #: and returns cleanly when exceeded — required for self-bounding chip
+    #: sessions that must never be killed externally (axon tunnel).
+    time_budget_s: Optional[float] = None
 
     def __post_init__(self):
         # Multi-host rendezvous first (no-op without a coordinator env;
@@ -312,10 +316,22 @@ class Trainer:
             actor_rng = np.random.default_rng(cfg.seed + 0xDA66)
 
         last_ckpt_time = time.time()
+        t_run_start = time.time()
+        out_of_time = False
         best_monitor = float("inf")
         step = start_step
         for epoch in range(max_epochs):
+            if out_of_time:
+                break
             for _ in range(limit_batches):
+                if (
+                    self.time_budget_s is not None
+                    and time.time() - t_run_start > self.time_budget_s
+                ):
+                    print(f"wall-clock budget reached at step {step}",
+                          flush=True)
+                    out_of_time = True
+                    break
                 batch = example if step == start_step else next(stream)
                 batch = self._to_global(batch)
                 if prepare_fn is not None:
@@ -327,6 +343,7 @@ class Trainer:
                 step += 1
 
                 if collect_fn is not None and step % actor_interval == 0:
+                    t_actor = time.time()
                     a_key = jax.random.fold_in(
                         jax.random.fold_in(rng, 0xDA66), step
                     )
@@ -349,10 +366,22 @@ class Trainer:
                         dagger = collect_fn(state.params, a_key, self.host_batch)
                     dagger = self._to_global(jax.device_get(dagger))
                     state, a_metrics = actor_step(state, dagger)
+                    a_metrics = jax.device_get(a_metrics)
+                    dt_actor = time.time() - t_actor
+                    # actor-learner throughput split (BASELINE config 5):
+                    # closed-loop env-steps collected + learner samples
+                    # consumed per second of actor wall-clock
+                    extra["actor_env_steps_per_s"] = (
+                        cfg.rollout.actor_rollout_steps * self.host_batch
+                        / max(dt_actor, 1e-9)
+                    )
+                    extra["actor_learner_samples_per_s"] = (
+                        self.global_batch / max(dt_actor, 1e-9)
+                    )
                     self.logger.log(
                         step,
                         {**{f"actor_{k}": float(v)
-                            for k, v in jax.device_get(a_metrics).items()},
+                            for k, v in a_metrics.items()},
                          **extra},
                     )
 
