@@ -252,10 +252,13 @@ def prepare_train_batch(
 
 
 class InstanceLoader:
-    # Throughput (measured r2, single-thread producer, synthetic 512-traj
-    # file, batch 80): ~24k instances/s host-side -- ~3x headroom over the
-    # learner's consumption at target step rates. Parallelize the producer
-    # if that headroom shrinks.
+    # Throughput: the r2 claim of "~24k instances/s host-side, 3x headroom"
+    # was measured on a tiny synthetic file whose pages were all cached and
+    # did not hold at r4 training scale (660 end-to-end vs 1,126 pure-step
+    # samples/s, a 41% tax). r5 attribution (scripts/train_r5.py profile
+    # phase, committed in TRAIN_r5.md) measures disk-backed vs in-memory
+    # producer rates against the device step rate; pass in_memory=True to
+    # TrajectoryDataset to remove the h5py random-gather cost entirely.
     """Shuffled, prefetched stream of raw training-instance batches.
 
     The reference fans ``get_inputs`` out over ``os.cpu_count()`` worker

@@ -836,6 +836,23 @@ def _sa_kernel_v8(
     base_incl = base_excl + tot
     cnt = local_cnt + base_b                             # [rb, 128] monotone
 
+    c3_dbg = out_ref.shape[2]
+
+    def _dbg_early(val):
+        out_ref[0] = jnp.broadcast_to(
+            jnp.sum(val).reshape(1, 1), (ts, c3_dbg)
+        ).astype(out_ref.dtype)
+        idx_ref[0] = jnp.zeros((ts, ns), jnp.int32)
+        if raw_ref is not None:
+            raw_ref[0] = jnp.zeros_like(raw_ref[0])
+
+    if debug_stop == 1:   # in-ball mask only
+        _dbg_early(in_ball.astype(f32))
+        return
+    if debug_stop == 2:   # + MXU counts
+        _dbg_early(cnt)
+        return
+
     # ---- 3. slot inversion: rounds 1-2 by slice-select, 3-7 by gather -----
     jlane = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 1)
     jf = jlane.astype(f32)
@@ -848,6 +865,10 @@ def _sa_kernel_v8(
         gathered = jnp.take_along_axis(cnt, probe, axis=1)
         lo = jnp.where(gathered <= jf, lo + step, lo)
     pos = lo                                             # [rb, 128]
+
+    if debug_stop == 3:   # + binary-search slot inversion
+        _dbg_early(pos.astype(f32))
+        return
 
     # ---- 4. ownership masks + merged indices ------------------------------
     valid = (jf >= base_excl) & (jf < base_incl)

@@ -18,10 +18,14 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # setdefault is NOT enough: the
+# ambient env pins axon, and the site plugin re-registers it; pin via
+# jax.config as well (the conftest pattern).
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
