@@ -85,8 +85,13 @@ def load_params(path: str, model: MotionPolicyNetwork, use_ema: bool = False):
         jax.random.PRNGKey(0), jnp.zeros((1, 6272, 4)), jnp.zeros((1, 7))
     )
     opt0 = learner.make_optimizer().init(example)
+    # NamedTuple templates always carry the ema_params FIELD (even as None),
+    # which orbax rejects against pre-r5 checkpoints saved without it — so
+    # pre-r5 states restore through a plain-dict template instead.
     templates = [
         learner.TrainState(example, opt0, jnp.zeros((), jnp.int32), example),
+        {"params": example, "opt_state": opt0,
+         "step": jnp.zeros((), jnp.int32)},
         learner.TrainState(example, opt0, jnp.zeros((), jnp.int32)),
     ]
     last_err = None

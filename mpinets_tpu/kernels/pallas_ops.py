@@ -760,7 +760,7 @@ def _sa_kernel_v8(
     w3t_ref,     # [C3, C2]
     b3t_ref,     # [C3, 1]
     lt_ref,      # [128, 128] lower-triangular ones (bf16)
-    bd_ref,      # [RB, RB] strictly-lower block-diagonal ones (bf16)
+    bd_ref,      # [NC, NC] strictly-lower ones (bf16; applied per centroid)
     out_ref,     # [1, TS, C3]
     idx_ref,     # [1, TS, ns] selected indices (int32)
     raw_ref=None,  # [1, P, TS*128] gathered raw channels (train path)
@@ -827,9 +827,21 @@ def _sa_kernel_v8(
     ones128 = (lt_ref[:] * 0 + 1).astype(jnp.bfloat16)
     tot_b = jnp.dot(in_ball, ones128, preferred_element_type=f32,
                     precision=jax.lax.Precision.DEFAULT)
-    base_b = jnp.dot(
-        bd_ref[:], tot_b.astype(jnp.bfloat16), preferred_element_type=f32,
-        precision=jax.lax.Precision.DEFAULT,
+    # Per-centroid strictly-lower [nc, nc] matmuls instead of one
+    # block-diagonal [rb, rb] (r5b attribution: the big mostly-zero matmul
+    # cost ~28 us/sample at SA0 — 16x wasted FLOPs). Same 0/1-weights
+    # integer sums in f32 accumulation: bit-identical counts.
+    tot_bf = tot_b.astype(jnp.bfloat16)
+    base_b = jnp.concatenate(
+        [
+            jnp.dot(
+                bd_ref[:], tot_bf[g * nc : (g + 1) * nc],
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            for g in range(ts)
+        ],
+        axis=0,
     )
     tot = tot_b[:, 0:1]
     base_excl = base_b[:, 0:1]
@@ -1453,7 +1465,7 @@ def sa_stage(
                 wspec(w3.T), wspec(b3.reshape(-1, 1)),
                 pl.BlockSpec((128, 128), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile_s * nc, tile_s * nc),
+                pl.BlockSpec((nc, nc),
                              lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
@@ -1474,7 +1486,7 @@ def sa_stage(
             centroids[..., 0:1], centroids[..., 1:2], centroids[..., 2:3],
             crep,
             w1p.T, b1.reshape(-1, 1), w2.T, b2.reshape(-1, 1),
-            w3.T, b3.reshape(-1, 1), lt, _bd_strict(tile_s, nc),
+            w3.T, b3.reshape(-1, 1), lt, _bd_strict(1, nc),
         )
         if return_raw:
             feats_t, idx, raw = out

@@ -14,7 +14,12 @@ sys.path.insert(0, "/root/repo")
 
 from mpinets_tpu.pipeline.gen import gen  # noqa: E402
 
-FAMILIES = ["tabletop", "cubby", "merged-cubby", "dresser"]
+FAMILIES = [
+    f for f in os.environ.get(
+        "GEN_STATS_FAMILIES", "tabletop,cubby,merged-cubby,dresser"
+    ).split(",") if f
+]
+ALL_FAMILIES = ["tabletop", "cubby", "merged-cubby", "dresser"]
 SCENE_PADS = {
     "tabletop": (24, 16),
     "cubby": (16, 8),
@@ -25,7 +30,14 @@ N_SCENES = int(os.environ.get("GEN_STATS_SCENES", "100"))
 BUDGET = float(os.environ.get("GEN_STATS_BUDGET_S", "600"))
 N_PRM = int(os.environ.get("GEN_STATS_PRM", "2"))
 OUT = "/root/repo/.gen_stats_r5"
+RESULTS_JSON = f"{OUT}/results.json"
+# resumable across invocations: rows persist per family, so a transient
+# compile-helper failure on one family can be retried without losing the
+# others' rows
 results = {}
+if os.path.exists(RESULTS_JSON):
+    results = {k: tuple(v) for k, v in
+               json.load(open(RESULTS_JSON)).items()}
 
 header = (
     "# Expert pipeline health at scale (r5)\n\n"
@@ -49,7 +61,7 @@ header = (
 
 def write_md():
     rows = []
-    for fam in FAMILIES:
+    for fam in ALL_FAMILIES:
         if fam not in results:
             continue
         r, secs = results[fam]
@@ -89,6 +101,8 @@ for fam in FAMILIES:
         traceback.print_exc()
         results[fam] = ({"scenes": 0, "pairs": 0, "valid": 0},
                         time.time() - t0)
+    json.dump({k: list(v) for k, v in results.items()},
+              open(RESULTS_JSON, "w"))
     write_md()
     print(f"== {fam} done in {(time.time()-t0)/60:.1f} min "
           f"{json.dumps(results[fam][0])}", flush=True)
