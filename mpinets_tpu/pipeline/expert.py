@@ -445,14 +445,24 @@ def prm_waypoints(
     dist_ = dist + jnp.where(jnp.eye(v, dtype=bool), jnp.inf, 0.0)
     _, nbr = jax.lax.top_k(-dist_, knn)                      # [V, knn]
 
-    # Interior samples of every candidate edge, one flat free-space batch.
+    # Interior samples of every candidate edge. Checked in knn-axis chunks
+    # via lax.map: one flat [V*knn*S] free-space batch fuses into a
+    # [pairs, V*knn*S, 56 spheres, prims, 3] intermediate that OOMs HBM on
+    # 40-primitive dresser scenes (18.5 GB measured); per-chunk it peaks
+    # ~1 GB at the same math.
     t = jnp.linspace(0.0, 1.0, n_edge_samples + 2)[1:-1]     # [S]
     a = nodes[:, None, None, :]                              # [V, 1, 1, 7]
     b = nodes[nbr][:, :, None, :]                            # [V, knn, 1, 7]
     pts = a + t[None, None, :, None] * (b - a)               # [V, knn, S, 7]
-    free = ik_mod.franka_free_space(
-        pts.reshape(-1, 7), scene, margin=PRM_MARGIN
-    ).reshape(v, knn, n_edge_samples)
+
+    def _edge_chunk(p):                                      # [V, S, 7]
+        return ik_mod.franka_free_space(
+            p.reshape(-1, 7), scene, margin=PRM_MARGIN
+        ).reshape(v, n_edge_samples)
+
+    free = jnp.moveaxis(
+        jax.lax.map(_edge_chunk, jnp.moveaxis(pts, 1, 0)), 0, 1
+    )                                                        # [V, knn, S]
     edge_len = jnp.take_along_axis(dist_, nbr, axis=1)       # [V, knn]
     edge_ok = (
         jnp.all(free, axis=-1)

@@ -210,22 +210,21 @@ import io  # noqa: E402
 
 from mpinets_tpu.cli import infer  # noqa: E402
 
-for pkl in sorted(GEN.glob("*/eval_problems.pkl")):
-    fam = pkl.parent.name
+def eval_pkl(pkl, fam, label, max_problems):
     try:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             infer.main([
                 str(Path(exp_dir) / "best"), str(pkl), "all", "all",
                 "--use-ema",
-                "--max-problems", str(EVAL_MAX),
+                "--max-problems", str(max_problems),
                 "--batch-size", "64",
             ])
         out = buf.getvalue()
-        print(f"== {fam} eval ==\n{out[-2600:]}", flush=True)
+        print(f"== {fam} eval ({label}) ==\n{out[-2600:]}", flush=True)
         with open("/root/repo/TRAIN_r5.md", "a") as f:
             f.write(
-                f"\n## Closed-loop eval: {fam} held-out hindsight problems "
+                f"\n## Closed-loop eval: {fam} {label} "
                 "(exact grouping, bf16 fused, EMA params)\n"
                 "\n```\n" + out[-2600:] + "\n```\n"
             )
@@ -233,4 +232,16 @@ for pkl in sorted(GEN.glob("*/eval_problems.pkl")):
         import traceback
 
         traceback.print_exc()
+
+
+# headline: problems from EVAL-ONLY scenes never seen in training
+for pkl in sorted(GEN.glob("*/eval_problems.pkl")):
+    eval_pkl(pkl, pkl.parent.name, "HELD-OUT hindsight problems "
+             "(eval-only scenes)", EVAL_MAX)
+# secondary diagnostic: gen-stats families — hindsight problems whose
+# SCENES are in the training set (honest label; not held out)
+for pkl in sorted(Path("/root/repo/.gen_stats_r5").glob("*_problems.pkl")):
+    fam = pkl.name.replace("_problems.pkl", "")
+    eval_pkl(pkl, fam, "hindsight problems from TRAINING scenes "
+             "(not held out)", 96)
 print("TRAIN_R5 SCRIPT DONE", flush=True)
