@@ -94,15 +94,16 @@ def main() -> None:
     parser.add_argument("--sa-impl", default="v8", choices=("v3", "v5", "v8"),
                         help="fused SA kernel variant (v8 = r4 default: "
                              "hoisted gather table + MXU recentring bias)")
-    parser.add_argument("--fast-grouping", type=int, default=8, metavar="W",
+    parser.add_argument("--fast-grouping", type=int, default=4, metavar="W",
                         help="RELAXED chunk-window grouping at SA0 (each "
                              "centroid searches only its W nearest point "
-                             "chunks). Default 8 = the r4 measured best "
-                             "(5430 env-steps/s; target-error delta "
-                             "+0.019 m, collision rate within noise vs the "
-                             "exact path -- table in ONCHIP_EVIDENCE.json "
-                             "and tests/test_onchip_evidence.py). Pass 0 "
-                             "for exact CUDA-semantics grouping")
+                             "chunks). Default 4 = the r5 measured best "
+                             "(5750 env-steps/s; target-error delta "
+                             "+0.021 m, collision rate within the same "
+                             "envelope as the r4-accepted fast8 -- tables "
+                             "in ONCHIP_EVIDENCE.json and BENCH_NOTES.md). "
+                             "Pass 0 for exact CUDA-semantics grouping "
+                             "(3,066 env-steps/s after the r5 prefix fix)")
     parser.add_argument("--gather16", action="store_true",
                         help="16-bit in-kernel SA gathers (bf16 data + i16 "
                              "indices); requires Mosaic support")
